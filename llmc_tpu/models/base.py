@@ -1,0 +1,181 @@
+"""Model abstraction layer.
+
+The reference drives compression through stateful ``nn.Module`` surgery:
+``BaseModel.get_subsets_in_block`` returns live module references, forward
+hooks capture activations, and "replacing a linear" mutates the module tree
+(/root/reference/llmc/models/base_model.py:22-481).
+
+The TPU-native design is functional:
+
+- a model is ``(params pytree, ModelDef)`` where ``ModelDef`` holds pure
+  apply functions;
+- the subset protocol (/root/reference/llmc/models/llama.py:52-91) becomes
+  declarative ``SubsetSpec`` data: param paths + capture keys + the name of
+  an inspect function;
+- "forward hooks caching inputs" becomes ``block_apply(..., capture=True)``
+  returning the per-subset input activations explicitly;
+- "module replacement" becomes transforming the params pytree and/or
+  changing the static ``LinearQcfg`` policy that the apply fn closes over.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.qspec import QuantSpec
+from ..quant.quantizer import (QParams, fake_quant_act, fake_quant_act_static,
+                               fake_quant_weight)
+
+F32 = jnp.float32
+
+
+# --------------------------------------------------------------------------
+# Quantization policy (static)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class LinearQcfg:
+    """Static per-linear quantization behaviour inside an apply fn.
+
+    Plays the role of the reference's module zoo
+    (module_utils.py FakeQuantLinear:586-678 / EffcientFakeQuantLinear
+    :681-759 / *RealQuantLinear:762-933), selected per layer:
+
+    - ``w_spec`` set, ``w_baked`` False: re-quantize weights every call
+      (FakeQuantLinear; needed while clip/scale factors are changing).
+    - ``w_baked`` True: weights in the pytree are already quant-dequantized
+      (EffcientFakeQuantLinear) or packed (RealQuantLinear); only activation
+      quantization happens at runtime.
+    - ``a_spec`` set: dynamic act fake-quant; ``a_static`` uses calibrated
+      qparams stored in the layer's params.
+    """
+
+    w_spec: Optional[QuantSpec] = None
+    a_spec: Optional[QuantSpec] = None
+    a_static: bool = False
+    w_baked: bool = False
+    w_packed: bool = False  # params hold packed codes; use kernel path
+
+
+def linear_apply(p: Dict, x: jax.Array,
+                 qcfg: Optional[LinearQcfg] = None) -> jax.Array:
+    """y = x @ W^T + b with optional fake/real quantization.
+
+    Weights use the HF (out_features, in_features) layout so equivalent
+    transforms keep the same row/column orientation as the reference.
+    """
+    if qcfg is not None and qcfg.a_spec is not None:
+        if qcfg.a_static:
+            x = fake_quant_act_static(
+                qcfg.a_spec, x, QParams(p['a_scales'], p['a_zeros']))
+        else:
+            x = fake_quant_act(qcfg.a_spec, x)
+    if qcfg is not None and qcfg.w_packed:
+        from ..ops.dequant_matmul import dequant_matmul
+        y = dequant_matmul(x, p['qweight'], p['scales'], p.get('zeros'),
+                           p['qmeta'])
+    else:
+        w = p['w']
+        if qcfg is not None and qcfg.w_spec is not None and not qcfg.w_baked:
+            w = fake_quant_weight(qcfg.w_spec, w,
+                                  up_factor=p.get('clip_up'),
+                                  low_factor=p.get('clip_low'))
+        y = jnp.dot(x, w.T, preferred_element_type=F32).astype(x.dtype)
+    if p.get('b') is not None:
+        y = y + p['b']
+    return y
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(F32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out.astype(x.dtype) * w).astype(x.dtype)
+
+
+def layer_norm(x: jax.Array, w: jax.Array, b: Optional[jax.Array],
+               eps: float) -> jax.Array:
+    xf = x.astype(F32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps)
+    out = out * w.astype(F32)
+    if b is not None:
+        out = out + b.astype(F32)
+    return out.astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# Subset descriptors
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SubsetSpec:
+    """Declarative equivalent of ``get_subsets_in_block`` entries
+    (llama.py:52-91): which linears are transformed together, what feeds
+    them, and how to re-run just that slice of the block."""
+
+    name: str
+    layers: Tuple[str, ...]          # param paths inside the block pytree
+    prev_op: Optional[str]           # param path of the preceding op
+    prev_kind: Optional[str]         # 'ln' | 'fc' | None
+    input_key: str                   # capture key of these layers' input
+    inspect: str                     # inspect-fn name registered on ModelDef
+    has_kwargs: bool = False
+    is_mlp: bool = False
+    do_trans: bool = True
+    is_gqa: bool = False             # prev fc out != layer in (GQA o_proj)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockLayout:
+    """Static layout of one decoder block: subsets plus the ln/linear map."""
+
+    subsets: Tuple[SubsetSpec, ...]
+    linears: Tuple[str, ...]         # all quantizable linear paths
+    layernorms: Tuple[str, ...]      # ln paths
+    # capture key for each linear path (shared inputs collapse)
+    capture_of: Tuple[Tuple[str, str], ...]
+
+    def capture_key(self, layer: str) -> str:
+        return dict(self.capture_of)[layer]
+
+
+# --------------------------------------------------------------------------
+# Pytree path helpers
+# --------------------------------------------------------------------------
+
+def get_path(tree, path: str):
+    cur = tree
+    for part in path.split('.'):
+        cur = cur[int(part)] if part.isdigit() else cur[part]
+    return cur
+
+
+def set_path(tree, path: str, value):
+    """Functionally replace the subtree at ``path`` (returns a new tree;
+    shares everything else)."""
+    parts = path.split('.')
+
+    def rec(node, i):
+        if i == len(parts):
+            return value
+        key = parts[i]
+        if isinstance(node, (list, tuple)):
+            idx = int(key)
+            items = list(node)
+            items[idx] = rec(items[idx], i + 1)
+            return type(node)(items)
+        new = dict(node)
+        new[key] = rec(new[key], i + 1)
+        return new
+
+    return rec(tree, 0)
+
+
+def update_path(tree, path: str, fn: Callable):
+    return set_path(tree, path, fn(get_path(tree, path)))
