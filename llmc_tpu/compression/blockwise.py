@@ -1,0 +1,362 @@
+"""Blockwise optimization engine.
+
+Reference: /root/reference/llmc/compression/blockwise_optimization.py:8-114
+(BlockwiseOpt: run_block_loop, cache hooks) and
+base_blockwise_quantization.py:41-1038 (BaseBlockwiseQuantization: config
+parsing, per-block capture + transform + quant_out, deploy, save).
+
+TPU-native redesign:
+- Forward hooks -> ``capture=True`` block apply returning subset inputs
+  explicitly, jitted once per block shape.
+- Module replacement -> ``QMap`` (static per-linear policy) + params
+  transforms; one pytree throughout.
+- block.cuda()/cpu() streaming -> ``jax.device_put`` per block (the params
+  already live on device here; streaming shows up for >HBM models).
+- NCCL all-reduce of statistics -> ``jax.lax.pmean``-style mesh reductions
+  (single-process here; the mesh hook is ``dp_mean``).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.adapter import BaseAdapter, QMap
+from ..models.base import LinearQcfg, get_path, set_path
+from ..quant.qspec import QuantSpec, spec_from_config
+from ..quant.quantizer import (QParams, fake_quant_act, fake_quant_weight,
+                               fake_quant_weight_w48, real_quant_weight,
+                               static_qparams_from_batches, tensor_qparams)
+from ..utils.registry import KV_REGISTRY
+
+F32 = jnp.float32
+
+
+class BlockwiseOpt:
+    """Abstract block loop (blockwise_optimization.py:8-114)."""
+
+    def __init__(self, model: BaseAdapter, compress_config, inputs,
+                 padding_mask, config):
+        self.model = model
+        self.compress_config = compress_config
+        self.config = config
+        self.inputs = list(inputs['data']) if isinstance(inputs, dict) \
+            else (list(inputs[0]) if isinstance(inputs, tuple) else
+                  list(inputs) if inputs else [])
+        self.kwargs_list = (inputs.get('kwargs')
+                            if isinstance(inputs, dict) else None) or []
+        self.padding_mask = padding_mask
+        self.n_samples = sum(int(np.prod(x.shape[:1]))
+                             for x in self.inputs) if self.inputs else 0
+        self.block_idx = -1
+
+    def run_block_loop(self):
+        for i in range(self.model.n_blocks):
+            self.block_idx = i
+            self.block_opt(i)
+        self.save_search_artifacts()
+
+    def save_search_artifacts(self):
+        """scales.pkl / clips.pkl, the reference's scales.pth/clips.pth
+        2-stage pipeline artifacts (blockwise_optimization.py:40-51)."""
+        if getattr(self, 'save_scale', False) and self.act_scales:
+            os.makedirs(self.scale_path, exist_ok=True)
+            with open(os.path.join(self.scale_path, 'scales.pkl'), 'wb') as f:
+                pickle.dump(jax.tree.map(np.asarray, self.act_scales), f)
+        clips = getattr(self, 'auto_clipper', None)
+        if getattr(self, 'save_clip', False) and clips is not None \
+                and clips.weight_clips:
+            os.makedirs(self.clip_path, exist_ok=True)
+            with open(os.path.join(self.clip_path, 'clips.pkl'), 'wb') as f:
+                pickle.dump(jax.tree.map(np.asarray, clips.weight_clips), f)
+
+    def block_opt(self, idx: int):
+        raise NotImplementedError
+
+
+class BaseBlockwiseQuantization(BlockwiseOpt):
+    """Shared machinery for every quantization algorithm
+    (base_blockwise_quantization.py:41-1038)."""
+
+    def __init__(self, model, quant_config, inputs, padding_mask, config):
+        super().__init__(model, quant_config, inputs, padding_mask, config)
+        self.quant_config = quant_config
+        self.layout = model.get_layout()
+        self.block_fn = model.block_fn()
+        self.inspect_fns = model.inspect_fns()
+        self.set_quant_config()
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    # config parsing (base:133-268)
+    # ------------------------------------------------------------------
+    def set_quant_config(self):
+        qc = self.quant_config
+        cfg = self.config
+        self.mixed_precision = 'ignored_layers' in cfg
+        il = cfg.get('ignored_layers', {}) or {}
+        self.ignored_block_ids = _expand_ranges(il.get('block_ids', []))
+        self.ignored_layer_names = list(il.get('layer_names', []))
+        self.ignored_special_names = list(il.get('speical_names',
+                                                 il.get('special_names', [])))
+        self.quant_out = qc.get('quant_out', False)
+        self.tp = qc.get('tp', 1)
+
+        wcfg = dict(qc.get('weight', {}))
+        self.w48 = (wcfg.get('bit') == 48)
+        if self.w48:
+            w8 = dict(wcfg, bit=8)
+            w4 = dict(wcfg.get('w4', {'bit': 4, 'granularity': 'per_group',
+                                      'group_size': wcfg.get('group_size',
+                                                             128)}))
+            self.wspec = spec_from_config(w8)
+            self.wspec4 = spec_from_config(w4)
+        else:
+            self.wspec = spec_from_config(wcfg) if wcfg else None
+            self.wspec4 = None
+
+        acfg = qc.get('act')
+        if acfg:
+            self.w_only = False
+            self.aspec = spec_from_config(dict(acfg))
+            self.act_static = acfg.get('static', False)
+            if self.act_static:
+                assert self.aspec.granularity == 'per_tensor', \
+                    'only per_tensor static act quant supported'
+            self.quant_attn = acfg.get('quant_attn', False)
+            self.quant_softmax = acfg.get('quant_softmax', False)
+            self.quant_act_fn = acfg.get('quant_act_fn', False)
+        else:
+            self.w_only = True
+            self.aspec = None
+            self.act_static = False
+            self.quant_attn = False
+            self.quant_softmax = False
+            self.quant_act_fn = False
+
+        # KV-cache quantization config (base:200-216)
+        if 'kvcache' in qc:
+            kvcfg = dict(qc['kvcache'])
+            kvcfg['static'] = self.act_static
+            self.kv_module = KV_REGISTRY[kvcfg['method']](
+                kvcfg.get('quant_type', 'int-quant'), kvcfg,
+                self.model.n_blocks, **kvcfg.get('special', {}))
+            self.quant_kvcache = True
+        else:
+            self.kv_module = None
+            self.quant_kvcache = False
+
+        special = qc.get('special', {}) or {}
+        self.special = special
+        self.true_sequential = special.get('true_sequential', False)
+        self.weight_clip = special.get('weight_clip', False)
+        self.save_clip = special.get('save_clip', False)
+        self.clip_path = special.get('clip_path')
+        self.clip_version = special.get('clip_version', 'v1')
+        if self.weight_clip or special.get('search_clip_init', False):
+            from .quantization.auto_clip import AutoClipper
+            self.auto_clipper = AutoClipper(
+                w_only=self.w_only, wspec=self.wspec, aspec=self.aspec,
+                clip_version=self.clip_version,
+                clip_sym=special.get('clip_sym',
+                                     self.wspec.symmetric
+                                     if self.wspec else True),
+                save_clip=self.save_clip, padding_mask=self.padding_mask)
+        self.save_scale = special.get('save_scale', False)
+        self.scale_path = special.get('scale_path')
+        self.act_scales = {}
+        self.online_rotate = special.get('online_rotate', False)
+        self.do_gqa_trans = special.get('do_gqa_trans', False)
+        self.has_gqa = (getattr(self.model.cfg, 'num_key_value_heads', 1)
+                        != getattr(self.model.cfg, 'num_attention_heads', 1))
+        # static act qparams per (block, capture key) filled during calib
+        self.static_aqparams: Dict = {}
+
+    # ------------------------------------------------------------------
+    # fake/real quant weight helpers (base:270-390 analog)
+    # ------------------------------------------------------------------
+    def w_qdq(self, w, up_factor=None, low_factor=None):
+        if self.w48:
+            return fake_quant_weight_w48(self.wspec, self.wspec4, w)
+        return fake_quant_weight(self.wspec, w, up_factor=up_factor,
+                                 low_factor=low_factor)
+
+    def a_qdq(self, a):
+        return fake_quant_act(self.aspec, a)
+
+    def layer_is_ignored(self, block_idx: int, path: str) -> bool:
+        if not self.mixed_precision:
+            return False
+        if block_idx in self.ignored_block_ids and \
+                path in self.ignored_layer_names:
+            return True
+        full = f'model.layers.{block_idx}.{path}'
+        return full in self.ignored_special_names
+
+    def fake_quant_qcfg(self, block_idx: int, path: str
+                       ) -> Optional[LinearQcfg]:
+        if self.layer_is_ignored(block_idx, path):
+            return None
+        return LinearQcfg(w_spec=self.wspec, a_spec=self.aspec,
+                          a_static=False)
+
+    def fake_quant_qmap(self, block_idx: int) -> QMap:
+        return QMap({p: self.fake_quant_qcfg(block_idx, p)
+                     for p in self.layout.linears})
+
+    # ------------------------------------------------------------------
+    # block forward / capture
+    # ------------------------------------------------------------------
+    def _jitted_block(self, capture: bool, qmap):
+        key = (capture, qmap)
+        if key not in self._jit_cache:
+            fn = self.block_fn
+
+            def run(bp, x, kw):
+                y, caps, _ = fn(bp, x, kw, qmap=qmap, capture=capture)
+                return y, caps
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def block_forward(self, block, inputs=None, qmap=None) -> List:
+        inputs = self.inputs if inputs is None else inputs
+        run = self._jitted_block(False, qmap)
+        outs = []
+        for x, kw in zip(inputs, self._kwargs_iter()):
+            y, _ = run(block, x, kw)
+            outs.append(y)
+        return outs
+
+    def block_forward_capture(self, block, qmap=None):
+        run = self._jitted_block(True, qmap)
+        outs, feats = [], {}
+        for x, kw in zip(self.inputs, self._kwargs_iter()):
+            y, caps = run(block, x, kw)
+            outs.append(y)
+            for k, v in caps.items():
+                feats.setdefault(k, []).append(v)
+        return outs, feats
+
+    def _kwargs_iter(self):
+        if not self.kwargs_list:
+            return [{}] * len(self.inputs)
+        if len(self.kwargs_list) == 1:
+            return self.kwargs_list * len(self.inputs)
+        return self.kwargs_list
+
+    # ------------------------------------------------------------------
+    # the per-block step (base:392-462)
+    # ------------------------------------------------------------------
+    def block_opt(self, idx: int):
+        block = self.model.blocks[idx]
+        outs, feats = self.block_forward_capture(block)
+        if not self.quant_out:
+            self.inputs = outs
+        block = self.block_transform(idx, block, feats)
+        self.model.set_block(idx, block)
+        if self.quant_out:
+            self.inputs = self.block_forward(
+                block, qmap=self.fake_quant_qmap(idx))
+
+    def block_transform(self, idx: int, block, feats):
+        if self.act_static:
+            self.register_static_act_qparams(idx, feats)
+        for i, subset in enumerate(self.layout.subsets):
+            block = self.subset_transform(idx, block, subset, feats)
+            if self.true_sequential and i != len(self.layout.subsets) - 1:
+                # recompute activations with this subset fake-quantized
+                # (base:498-526 rehook)
+                qmap = QMap({p: self.fake_quant_qcfg(idx, p)
+                             for s in self.layout.subsets[:i + 1]
+                             for p in s.layers})
+                _, feats2 = self.block_forward_capture(block, qmap=qmap)
+                feats.update(feats2)
+        if self.weight_clip:
+            block = self.auto_clipper.run(
+                block, idx, self.layout, feats,
+                n_sample_token=self.config.get_nested('calib.seq_len')
+                if hasattr(self.config, 'get_nested') else None)
+        return block
+
+    def subset_transform(self, idx, block, subset, feats):
+        """Algorithm-specific; default no-op (RTN)."""
+        return block
+
+    # ------------------------------------------------------------------
+    # static act calibration (base:566-588)
+    # ------------------------------------------------------------------
+    def register_static_act_qparams(self, idx, feats):
+        algo = self.quant_config['act'].get('calib_algo', 'static_minmax')
+        for key, batches in feats.items():
+            qp = static_qparams_from_batches(self.aspec, batches, algo)
+            # DP-mean across ranks happens at the mesh level (dp_mean)
+            self.static_aqparams[(idx, key)] = qp
+
+    def update_input_feat(self, feats, subset, scales, is_gqa=False):
+        """Divide cached activations by the applied scales (base:882-897)."""
+        s = scales
+        if is_gqa:
+            from .transforms import repeat_gqa_scales
+            cfgm = self.model.cfg
+            s = repeat_gqa_scales(
+                scales, cfgm.num_key_value_heads,
+                cfgm.num_attention_heads // cfgm.num_key_value_heads)
+        key = subset.input_key
+        feats[key] = [x / s.reshape((1,) * (x.ndim - 1) + (-1,))
+                      for x in feats[key]]
+
+    # ------------------------------------------------------------------
+    # deploy / save (base:932-1038)
+    # ------------------------------------------------------------------
+    def deploy(self, quant_format: str) -> QMap:
+        """Build the QMap for an eval/serve stage; 'real quant' additionally
+        transforms params to packed codes (done in export)."""
+        if quant_format in ('origin_float', 'transformed'):
+            qmap = QMap({})
+        elif quant_format == 'fake_quant':
+            entries = {}
+            for b in range(self.model.n_blocks):
+                for p in self.layout.linears:
+                    qc = self.fake_quant_qcfg(b, p)
+                    entries[p] = qc  # same policy every block; per-block
+                    # ignore handled via baked weights below
+            qmap = QMap(entries)
+        else:
+            raise ValueError(f'unknown quant_format {quant_format!r}')
+        self.model.qmap = qmap
+        return qmap
+
+    def bake_fake_quant_weights(self):
+        """EffcientFakeQuantLinear analog: quantize-dequantize weights once,
+        store back into params; runtime then only act-quants
+        (module_utils.py:681-759)."""
+        bake = jax.jit(lambda w, up, low: self.w_qdq(w, up, low))
+        bake_noclip = jax.jit(lambda w: self.w_qdq(w))
+        for b in range(self.model.n_blocks):
+            blk = self.model.blocks[b]
+            for path in self.layout.linears:
+                if self.layer_is_ignored(b, path):
+                    continue
+                lin = get_path(blk, path)
+                up, low = lin.get('clip_up'), lin.get('clip_low')
+                w = lin['w']
+                wq = bake(w, up, low) if up is not None else bake_noclip(w)
+                blk = set_path(blk, path, dict(lin, w=wq))
+            self.model.set_block(b, blk)
+
+
+def _expand_ranges(items):
+    out = []
+    for it in items:
+        s = str(it)
+        if '-' in s and s.replace('-', '').isdigit():
+            a, b = s.split('-')
+            out.extend(range(int(a), int(b) + 1))
+        else:
+            out.append(int(it))
+    return out

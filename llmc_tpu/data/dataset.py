@@ -1,0 +1,143 @@
+"""Calibration dataset assembly.
+
+Reference: /root/reference/llmc/data/dataset/base_dataset.py:14-223 —
+source selection (hub download / disk / custom txt), preproc dispatch,
+batching (bs = -1 | 1 | n), rank-sharding, padding masks.
+
+TPU-native differences: samples are numpy int32; data-parallel sharding is
+explicit via ``shard_for_data_parallel`` (the ``samples[RANK::WORLD]`` of
+base_dataset.py:170-172 becomes a mesh-axis shard in the engine); an
+offline ``synthetic`` source exists for hardware-free testing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.registry import PREPROC_REGISTRY
+from . import preproc as _preproc  # noqa: F401  (registers preprocs)
+
+TEXT_KEY = {'pileval': 'text', 'c4': 'text', 'wikitext2': 'text',
+            'ptb': 'sentence'}
+
+
+class CalibDataset:
+    def __init__(self, calib_cfg: Dict, tokenizer=None):
+        self.cfg = calib_cfg
+        self.tokenizer = tokenizer
+        self.name = calib_cfg['name']
+        self.download = calib_cfg.get('download', False)
+        self.path = calib_cfg.get('path')
+        self.n_samples = calib_cfg.get('n_samples')
+        self.bs = calib_cfg.get('bs', 1)
+        self.seq_len = calib_cfg.get('seq_len')
+        self.preproc = calib_cfg.get('preproc', 'txt_general_preproc')
+        self.padding = calib_cfg.get('padding', False)
+        self.seed = calib_cfg.get('seed', 42)
+        self.key = TEXT_KEY.get(self.name, 'text')
+        self.calib_dataset = self._build()
+
+    # --- sources --------------------------------------------------------
+    def _build(self):
+        if self.name == 'synthetic':
+            return None  # generated directly in get_calib_dataset
+        if self.name == 'custom_txt':
+            return self._load_custom_txt(self.path)
+        if self.download:
+            import datasets
+            hub = {
+                'pileval': ('mit-han-lab/pile-val-backup', None,
+                            'validation'),
+                'wikitext2': ('wikitext', 'wikitext-2-raw-v1', 'train'),
+                'ptb': ('ptb_text_only', 'penn_treebank', 'train'),
+                'c4': ('allenai/c4', None, 'train'),
+            }[self.name]
+            name, sub, split = hub
+            return datasets.load_dataset(name, sub, split=split)
+        import datasets
+        return datasets.load_from_disk(self.path)
+
+    @staticmethod
+    def _load_custom_txt(path: str) -> List[str]:
+        if os.path.isdir(path):
+            files = sorted(os.listdir(path))
+            lines = []
+            for f in files:
+                fp = os.path.join(path, f)
+                if f.endswith('.jsonl'):
+                    with open(fp) as fh:
+                        lines += [json.loads(ln).get('text', '')
+                                  for ln in fh if ln.strip()]
+                elif f.endswith('.txt'):
+                    with open(fp) as fh:
+                        lines += [ln.strip() for ln in fh if ln.strip()]
+            return lines
+        with open(path) as fh:
+            return [ln.strip() for ln in fh if ln.strip()]
+
+    # --- assembly -------------------------------------------------------
+    def get_calib_dataset(self, rank: int = 0, world_size: int = 1
+                          ) -> Tuple[List[Dict], Optional[List]]:
+        """Returns (batches, padding_masks).  Each batch:
+        {'input_ids': np.int32 [bs, seq], 'attention_mask': optional}."""
+        random.seed(self.seed)
+        if self.name == 'synthetic':
+            rng = np.random.RandomState(self.seed + rank)
+            vocab = int(self.cfg.get('vocab_size', 32000))
+            samples = [rng.randint(0, vocab, size=(1, self.seq_len))
+                       .astype(np.int32) for _ in range(self.n_samples)]
+        else:
+            data = self.calib_dataset
+            if world_size > 1 and not hasattr(data, 'shard'):
+                data = list(data)[rank::world_size]
+            elif world_size > 1:
+                data = data.shard(num_shards=world_size, index=rank)
+            fn = PREPROC_REGISTRY[self.preproc]
+            kw = dict(calib_dataset=data, tokenizer=self.tokenizer,
+                      n_samples=self.n_samples, seq_len=self.seq_len)
+            if self.preproc == 'txt_general_preproc':
+                kw['key'] = self.key
+            samples = fn(**kw)
+        batches = self._batch(samples)
+        masks = [b.get('attention_mask') for b in batches] \
+            if self.padding else None
+        return batches, masks
+
+    def _batch(self, samples: List[np.ndarray]) -> List[Dict]:
+        out = []
+        if self.bs == -1:
+            if self.padding:
+                ids, mask = _pad_cat(samples)
+                out.append({'input_ids': ids, 'attention_mask': mask})
+            else:
+                out.append({'input_ids': np.concatenate(samples, axis=0)})
+        elif self.bs == 1:
+            for s in samples:
+                out.append({'input_ids': s})
+        else:
+            for i in range(0, len(samples), self.bs):
+                grp = samples[i:i + self.bs]
+                if self.padding:
+                    ids, mask = _pad_cat(grp)
+                    out.append({'input_ids': ids, 'attention_mask': mask})
+                else:
+                    out.append({'input_ids': np.concatenate(grp, axis=0)})
+        return out
+
+
+def _pad_cat(samples: List[np.ndarray], pad_id: int = 0
+             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Left-pad to the max length (HF convention for causal LM calib)."""
+    maxlen = max(s.shape[1] for s in samples)
+    ids = np.full((len(samples), maxlen), pad_id, np.int32)
+    mask = np.zeros((len(samples), maxlen), np.int32)
+    for i, s in enumerate(samples):
+        L = s.shape[1]
+        ids[i, maxlen - L:] = s[0]
+        mask[i, maxlen - L:] = 1
+    return ids, mask

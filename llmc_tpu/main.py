@@ -1,0 +1,131 @@
+"""Pipeline driver: config -> model -> calib -> blockwise opt -> eval -> save.
+
+Reference: /root/reference/llmc/__main__.py:28-177 (main) — same phases,
+functional execution.  Entry points:
+
+    python -m llmc_tpu --config cfg.yml
+    run_pipeline(cfg_dict)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import compression  # noqa: F401  (registers ALGO_REGISTRY entries)
+from . import serve  # noqa: F401  (registers KV_REGISTRY entries)
+from .data import CalibDataset
+from .models import build_model
+from .utils import (ALGO_REGISTRY, Cfg, check_config, get_modality,
+                    load_config, seed_all)
+
+
+def _eval_ids(config, tokenizer) -> Optional[np.ndarray]:
+    ev = config.get('eval')
+    if not ev:
+        return None
+    ev0 = ev[0] if isinstance(ev, list) else ev
+    name = ev0.get('name', 'synthetic')
+    if name == 'synthetic':
+        rng = np.random.RandomState(ev0.get('seed', 0))
+        n = ev0.get('num_tokens', 16384)
+        vocab = ev0.get('vocab_size', 32000)
+        return rng.randint(0, vocab, size=(n,)).astype(np.int32)
+    path = ev0.get('path')
+    if path and os.path.exists(path):
+        with open(path) as f:
+            text = f.read()
+        return np.asarray(tokenizer(text)['input_ids'], np.int32)
+    import datasets
+    ds = datasets.load_from_disk(path)
+    text = '\n\n'.join(ds['text'])
+    return np.asarray(tokenizer(text)['input_ids'], np.int32)
+
+
+def run_pipeline(config: Dict) -> Dict:
+    """Returns a result dict with eval metrics per position."""
+    config = Cfg(config)
+    check_config(config)
+    # fail fast on unknown algorithms before any heavy work
+    for _, mcfg in get_modality(config):
+        ALGO_REGISTRY[mcfg['method']]
+    seed_all(config.get('base', {}).get('seed', 42))
+    results = {}
+    t0 = time.time()
+
+    model = build_model(config)
+    ev = config.get('eval')
+    ev0 = (ev[0] if isinstance(ev, list) else ev) if ev else None
+    eval_pos = list(ev0.get('eval_pos', [])) if ev0 else []
+    ppl_eval = None
+    if ev0:
+        ids = _eval_ids(config, model.tokenizer)
+        if ids is not None:
+            from .eval.ppl import PerplexityEval
+            ppl_eval = PerplexityEval(ids, seq_len=ev0.get('seq_len', 2048),
+                                      bs=ev0.get('bs', 1))
+
+    if ppl_eval and 'pretrain' in eval_pos:
+        results['ppl_pretrain'] = ppl_eval.eval(model)
+
+    blockwise_opt = None
+    for modality, mcfg in get_modality(config):
+        calib_cfg = config.get('calib')
+        if calib_cfg and mcfg.get('method') != 'Dense':
+            dataset = CalibDataset(calib_cfg, model.tokenizer)
+            batches, padding_mask = dataset.get_calib_dataset()
+            jb = [dict(b, input_ids=jnp.asarray(b['input_ids']))
+                  for b in batches]
+            xs, kws = model.collect_first_block_input(jb)
+            inputs = {'data': xs, 'kwargs': kws}
+        else:
+            inputs, padding_mask = {'data': [], 'kwargs': []}, None
+        algo_cls = ALGO_REGISTRY[mcfg['method']]
+        blockwise_opt = algo_cls(model, mcfg, inputs, padding_mask, config)
+        blockwise_opt.run_block_loop()
+
+    if ppl_eval and 'transformed' in eval_pos:
+        results['ppl_transformed'] = ppl_eval.eval(model)
+    if blockwise_opt is not None and ppl_eval and 'fake_quant' in eval_pos:
+        qmap = blockwise_opt.deploy('fake_quant')
+        results['ppl_fake_quant'] = ppl_eval.eval(model, qmap=qmap)
+        if ev0.get('eval_token_consist'):
+            from .eval.ppl import TokenConsistencyEval
+            tc = TokenConsistencyEval(_eval_ids(config, model.tokenizer),
+                                      seq_len=ev0.get('seq_len', 2048),
+                                      bs=ev0.get('bs', 1))
+            results['token_consistency'] = tc.eval(model, None, qmap)
+
+    save = config.get('save', {})
+    if save.get('save_trans') or save.get('save_fake'):
+        from .models.hf_loader import save_llama_params_to_hf
+        out = save.get('save_path', './save')
+        if save.get('save_fake') and blockwise_opt is not None:
+            blockwise_opt.bake_fake_quant_weights()
+        save_llama_params_to_hf(model.params, out, model.hf_config)
+        results['saved_to'] = out
+    results['wall_s'] = time.time() - t0
+    results['model'] = model
+    results['opt'] = blockwise_opt
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--config', required=True)
+    ap.add_argument('--task_id', default='0')
+    args = ap.parse_args()
+    cfg = load_config(args.config)
+    results = run_pipeline(cfg)
+    for k, v in results.items():
+        if isinstance(v, (int, float, str)):
+            print(f'{k}: {v}')
+
+
+if __name__ == '__main__':
+    main()

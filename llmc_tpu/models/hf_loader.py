@@ -1,0 +1,153 @@
+"""HuggingFace checkpoint ingestion (safetensors → params pytree).
+
+Replaces the reference's ``AutoModelForCausalLM.from_pretrained`` +
+module-tree mutation path (/root/reference/llmc/models/base_model.py:194-249)
+with a direct safetensors → jax pytree load; no torch in the loop.  Also
+handles FP8-block checkpoints (weight + weight_scale_inv pairs) by
+dequantizing to bf16 on load, the analog of base_model.py:202-249.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_hf_config(path: str) -> dict:
+    with open(os.path.join(path, 'config.json')) as f:
+        return json.load(f)
+
+
+def _iter_safetensor_files(path: str):
+    idx = os.path.join(path, 'model.safetensors.index.json')
+    if os.path.exists(idx):
+        with open(idx) as f:
+            index = json.load(f)
+        for fname in sorted(set(index['weight_map'].values())):
+            yield os.path.join(path, fname)
+    else:
+        single = os.path.join(path, 'model.safetensors')
+        if os.path.exists(single):
+            yield single
+        else:
+            raise FileNotFoundError(f'no safetensors found under {path}')
+
+
+def load_hf_tensors(path: str, dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
+    """Flat {hf_name: array} with bf16 default dtype; fp32 norms kept fp32."""
+    from safetensors import safe_open
+    out = {}
+    for fpath in _iter_safetensor_files(path):
+        with safe_open(fpath, framework='flax') as f:
+            for name in f.keys():
+                t = f.get_tensor(name)
+                out[name] = t
+    # FP8-block checkpoints: dequantize weight with its weight_scale_inv
+    # (per-128-block scales), analog of llmc weight_cast_to_bf16
+    # (quant.py:18-30).
+    scale_names = [n for n in out if n.endswith('weight_scale_inv')]
+    for sn in scale_names:
+        wn = sn.replace('_scale_inv', '')
+        w = out[wn].astype(jnp.float32)
+        s = out[sn].astype(jnp.float32)
+        bs_m = -(-w.shape[0] // s.shape[0])
+        bs_n = -(-w.shape[1] // s.shape[1])
+        s_full = jnp.repeat(jnp.repeat(s, bs_m, axis=0)[:w.shape[0]],
+                            bs_n, axis=1)[:, :w.shape[1]]
+        out[wn] = (w * s_full)
+        del out[sn]
+    conv = {}
+    for name, t in out.items():
+        if t.dtype in (jnp.float16, jnp.float32, jnp.bfloat16,
+                       jnp.float64) and dtype is not None:
+            t = t.astype(dtype)
+        conv[name] = t
+    return conv
+
+
+def llama_params_from_hf(flat: Dict[str, jnp.ndarray], num_layers: int,
+                         tie_embeddings: bool) -> Dict:
+    """Map HF Llama names onto our pytree layout."""
+    def lin(prefix: str) -> Dict:
+        p = {'w': flat[f'{prefix}.weight']}
+        p['b'] = flat.get(f'{prefix}.bias')
+        return p
+
+    blocks = []
+    for i in range(num_layers):
+        b = f'model.layers.{i}'
+        blk = {
+            'input_layernorm': {'w': flat[f'{b}.input_layernorm.weight']},
+            'self_attn': {
+                'q_proj': lin(f'{b}.self_attn.q_proj'),
+                'k_proj': lin(f'{b}.self_attn.k_proj'),
+                'v_proj': lin(f'{b}.self_attn.v_proj'),
+                'o_proj': lin(f'{b}.self_attn.o_proj'),
+            },
+            'post_attention_layernorm': {
+                'w': flat[f'{b}.post_attention_layernorm.weight']},
+            'mlp': {
+                'gate_proj': lin(f'{b}.mlp.gate_proj'),
+                'up_proj': lin(f'{b}.mlp.up_proj'),
+                'down_proj': lin(f'{b}.mlp.down_proj'),
+            },
+        }
+        qn = flat.get(f'{b}.self_attn.q_norm.weight')
+        if qn is not None:
+            blk['self_attn']['q_norm'] = {'w': qn}
+            blk['self_attn']['k_norm'] = {
+                'w': flat[f'{b}.self_attn.k_norm.weight']}
+        blocks.append(blk)
+    params = {
+        'embed_tokens': {'w': flat['model.embed_tokens.weight']},
+        'blocks': blocks,
+        'norm': {'w': flat['model.norm.weight']},
+    }
+    if not tie_embeddings:
+        lm = flat.get('lm_head.weight')
+        if lm is None:  # some checkpoints tie without the flag
+            params['lm_head'] = {'w': flat['model.embed_tokens.weight'],
+                                 'b': None}
+        else:
+            params['lm_head'] = {'w': lm, 'b': None}
+    return params
+
+
+def save_llama_params_to_hf(params: Dict, path: str,
+                            hf_config: Optional[dict] = None) -> None:
+    """Write params back out as an HF-style safetensors checkpoint
+    (save_trans / save_fake analog, base_blockwise_quantization.py:1015-1038).
+    """
+    from safetensors.numpy import save_file
+    os.makedirs(path, exist_ok=True)
+    flat = {}
+
+    def put(name, arr):
+        if arr is None:
+            return
+        a = np.asarray(arr)
+        flat[name] = a
+
+    put('model.embed_tokens.weight', params['embed_tokens']['w'])
+    put('model.norm.weight', params['norm']['w'])
+    if 'lm_head' in params:
+        put('lm_head.weight', params['lm_head']['w'])
+    for i, blk in enumerate(params['blocks']):
+        b = f'model.layers.{i}'
+        put(f'{b}.input_layernorm.weight', blk['input_layernorm']['w'])
+        put(f'{b}.post_attention_layernorm.weight',
+            blk['post_attention_layernorm']['w'])
+        for proj in ('q_proj', 'k_proj', 'v_proj', 'o_proj'):
+            put(f'{b}.self_attn.{proj}.weight', blk['self_attn'][proj]['w'])
+            put(f'{b}.self_attn.{proj}.bias', blk['self_attn'][proj].get('b'))
+        for proj in ('gate_proj', 'up_proj', 'down_proj'):
+            put(f'{b}.mlp.{proj}.weight', blk['mlp'][proj]['w'])
+            put(f'{b}.mlp.{proj}.bias', blk['mlp'][proj].get('b'))
+    save_file(flat, os.path.join(path, 'model.safetensors'))
+    if hf_config is not None:
+        with open(os.path.join(path, 'config.json'), 'w') as f:
+            json.dump(hf_config, f, indent=2)

@@ -386,6 +386,112 @@ def fake_quant_weight_w48(spec8: QuantSpec, spec4: QuantSpec,
     return restore_tensor(spec8, out, w.shape).astype(orig_dtype)
 
 
+# --------------------------------------------------------------------------
+# Static activation calibration (quant.py:403-543, PyTorch-observer style)
+# --------------------------------------------------------------------------
+
+def static_minmax_range(batches):
+    """Global min/max over all calibration batches (static_minmax,
+    quant.py:545-560 path).  Per-tensor granularity."""
+    import numpy as np
+    mn = min(float(jnp.min(b)) for b in batches)
+    mx = max(float(jnp.max(b)) for b in batches)
+    return (jnp.asarray(mn, F32), jnp.asarray(mx, F32))
+
+
+def static_moving_minmax_range(batches, alpha: float = 0.01):
+    """EMA of per-batch min/max (quant.py:524-543)."""
+    mn = mx = None
+    for b in batches:
+        bmn, bmx = float(jnp.min(b)), float(jnp.max(b))
+        if mn is None:
+            mn, mx = bmn, bmx
+        else:
+            mn = mn + alpha * (bmn - mn)
+            mx = mx + alpha * (bmx - mx)
+    return (jnp.asarray(mn, F32), jnp.asarray(mx, F32))
+
+
+def static_hist_range(spec: QuantSpec, batches, bins: int = 2048):
+    """Histogram-threshold search (quant.py:403-522): accumulate a global
+    histogram, then shrink [min,max] greedily minimizing the L2 quantization
+    error estimated from the histogram.  Host-side numpy (calibration-time
+    only, not in the compiled path)."""
+    import numpy as np
+    arrs = [np.asarray(b, np.float32).ravel() for b in batches]
+    gmin = min(a.min() for a in arrs)
+    gmax = max(a.max() for a in arrs)
+    gmax = max(gmax, gmin + 1e-8)
+    hist = np.zeros(bins, np.float64)
+    for a in arrs:
+        h, _ = np.histogram(a, bins=bins, range=(gmin, gmax))
+        hist += h
+    bin_width = (gmax - gmin) / bins
+    dst_nbins = int(2 ** (spec.bit if not spec.is_float else 8))
+
+    def quant_error(start_bin, end_bin):
+        # L2 norm of quantizing the histogram mass into dst_nbins between
+        # the candidate thresholds (observer-style density approximation)
+        norm = 0.0
+        dst_bin_width = bin_width * (end_bin - start_bin + 1) / dst_nbins
+        if dst_bin_width == 0:
+            return float('inf')
+        centers = gmin + (np.arange(bins) + 0.5) * bin_width
+        lo = gmin + start_bin * bin_width
+        hi = gmin + (end_bin + 1) * bin_width
+        clipped = np.clip(centers, lo, hi)
+        q = np.round((clipped - lo) / dst_bin_width - 0.5)
+        deq = lo + (q + 0.5) * dst_bin_width
+        err = (centers - deq) ** 2
+        norm = float((hist * err).sum())
+        return norm
+
+    total = hist.sum()
+    csum = np.cumsum(hist)
+    alpha, beta = 0.0, 1.0
+    stepsize = 1e-5
+    start_bin, end_bin = 0, bins - 1
+    norm_min = float('inf')
+    while alpha < beta:
+        next_alpha, next_beta = alpha + stepsize, beta - stepsize
+        left, right = start_bin, end_bin
+        while left < end_bin and csum[left] < next_alpha * total:
+            left += 1
+        while right > start_bin and csum[right] > next_beta * total:
+            right -= 1
+        next_start, next_end = start_bin, end_bin
+        if (left - start_bin) > (end_bin - right):
+            next_start = left
+            alpha = next_alpha
+        else:
+            next_end = right
+            beta = next_beta
+        if next_start == start_bin and next_end == end_bin:
+            continue
+        norm = quant_error(next_start, next_end)
+        if norm > norm_min:
+            break
+        norm_min = norm
+        start_bin, end_bin = next_start, next_end
+    new_min = gmin + bin_width * start_bin
+    new_max = gmin + bin_width * (end_bin + 1)
+    return (jnp.asarray(new_min, F32), jnp.asarray(new_max, F32))
+
+
+def static_qparams_from_batches(spec: QuantSpec, batches, algo: str
+                                ) -> QParams:
+    """Dispatch for static act calibration; per-tensor only (the reference
+    asserts the same, base_blockwise_quantization.py:180-184)."""
+    if algo == 'static_hist':
+        assert spec.symmetric is True or True  # hist works for both here
+        rng = static_hist_range(spec, batches)
+    elif algo == 'static_moving_minmax':
+        rng = static_moving_minmax_range(batches)
+    else:
+        rng = static_minmax_range(batches)
+    return qparams_from_range(spec, rng)
+
+
 # Straight-through-estimator round for learnable algorithms
 @jax.custom_vjp
 def ste_round(x):

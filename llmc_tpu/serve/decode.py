@@ -1,0 +1,157 @@
+"""KV-cached decode: prefill + autoregressive generation + decode-PPL.
+
+Reference behavior: /root/reference/llmc/eval/eval_ppl.py:61-93 (decode
+PPL, one token at a time through the quantized KV cache) and the KV
+injection path (blockwise_optimization.py:63-101).
+
+TPU-native: the cache is explicit scan-carried state with static shapes;
+the decode loop is a single ``lax.scan`` (one compile), not a Python
+token loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import llama as L
+from .kvcache import KVCachePolicy
+
+F32 = jnp.float32
+FP_POLICY = KVCachePolicy(method='fp')
+
+
+def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
+    """One decoder block with cache read/write."""
+    from ..models.base import linear_apply, rms_norm
+    B, S, D = x.shape
+    H, KVH, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    h = rms_norm(x, bp['input_layernorm']['w'], cfg.rms_norm_eps)
+    p = bp['self_attn']
+
+    def qc(path):
+        return qmap.get(path) if qmap is not None else None
+    q = linear_apply(p['q_proj'], h, qc('self_attn.q_proj')).reshape(
+        B, S, H, hd)
+    k = linear_apply(p['k_proj'], h, qc('self_attn.k_proj')).reshape(
+        B, S, KVH, hd)
+    v = linear_apply(p['v_proj'], h, qc('self_attn.v_proj')).reshape(
+        B, S, KVH, hd)
+    if cfg.use_qk_norm:
+        q = rms_norm(q, p['q_norm']['w'], cfg.rms_norm_eps)
+        k = rms_norm(k, p['k_norm']['w'], cfg.rms_norm_eps)
+    q, k = L.apply_rope(q, k, cos, sin)
+    cache = policy.update(cache, layer, k, v)
+    k_full, v_full = policy.read(cache, layer, x.dtype)
+    if KVH != H:
+        rep = H // KVH
+        k_full = jnp.repeat(k_full, rep, axis=2)
+        v_full = jnp.repeat(v_full, rep, axis=2)
+    Smax = k_full.shape[1]
+    pos = cache['pos']
+    scores = jnp.einsum('bqhd,bkhd->bhqk', q, k_full,
+                        preferred_element_type=F32) / (hd ** 0.5)
+    kv_idx = jnp.arange(Smax)[None, :]
+    q_idx = pos + jnp.arange(S)[:, None]
+    valid = kv_idx <= q_idx
+    sink_mask = policy.attention_mask_offset(pos + S, Smax)
+    if sink_mask is not None:
+        valid = valid & sink_mask[None, :]
+    scores = jnp.where(valid[None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum('bhqk,bkhd->bqhd', probs, v_full,
+                     preferred_element_type=F32).astype(x.dtype)
+    attn_out = linear_apply(p['o_proj'], ctx.reshape(B, S, H * hd),
+                            qc('self_attn.o_proj'))
+    x = x + attn_out
+    h = rms_norm(x, bp['post_attention_layernorm']['w'], cfg.rms_norm_eps)
+    mlp_out, _ = L.mlp_apply(bp['mlp'], h, qmap)
+    return x + mlp_out, cache
+
+
+def forward_cached(params, cfg, ids, cache, policy, qmap=None):
+    """Run ``ids`` (S tokens) against the cache; returns (logits, cache)
+    with cache['pos'] advanced."""
+    S = ids.shape[1]
+    x = L.embed_apply(params, cfg, ids)
+    positions = cache['pos'] + jnp.arange(S)[None, :]
+    cos, sin = L.rope_cos_sin(cfg, positions)
+    for layer, bp in enumerate(params['blocks']):
+        x, cache = _block_cached(bp, cfg, x, cos, sin, cache, layer,
+                                 policy, qmap)
+    cache = dict(cache, pos=cache['pos'] + S)
+    return L.head_apply(params, cfg, x), cache
+
+
+def init_cache(model, batch: int, max_len: int,
+               policy: KVCachePolicy = FP_POLICY):
+    cfg = model.cfg
+    return policy.init_cache(batch, max_len, cfg.num_key_value_heads,
+                             cfg.head_dim, cfg.num_hidden_layers,
+                             dtype=cfg.jdtype)
+
+
+def decode_nll(model, ids: jax.Array, qmap=None,
+               kv_policy: Optional[KVCachePolicy] = None
+               ) -> Tuple[jax.Array, int]:
+    """Token-by-token NLL through the KV cache (decode-PPL inner loop).
+    One lax.scan over time; cache length = seq_len."""
+    policy = kv_policy or FP_POLICY
+    cfg = model.cfg
+    B, S = ids.shape
+    cache = init_cache(model, B, S, policy)
+    params = model.params
+
+    def step(carry, tok_next):
+        cache, tok, nll = carry
+        logits, cache = forward_cached(params, cfg, tok[:, None], cache,
+                                       policy, qmap)
+        lp = jax.nn.log_softmax(logits[:, -1].astype(F32), axis=-1)
+        nll = nll - jnp.take_along_axis(lp, tok_next[:, None], axis=-1).sum()
+        return (cache, tok_next, nll), None
+
+    @jax.jit
+    def run(params_ids):
+        ids = params_ids
+        init = (cache, ids[:, 0], jnp.zeros((), F32))
+        (c, _, nll), _ = jax.lax.scan(step, init, ids[:, 1:].T)
+        return nll
+    nll = run(ids)
+    return nll, B * (S - 1)
+
+
+def greedy_generate(model, prompt_ids: jax.Array, max_new_tokens: int,
+                    qmap=None, kv_policy: Optional[KVCachePolicy] = None,
+                    ) -> jax.Array:
+    """Prefill + greedy decode; returns [B, prompt+new] token ids."""
+    policy = kv_policy or FP_POLICY
+    cfg = model.cfg
+    B, P = prompt_ids.shape
+    max_len = P + max_new_tokens
+    cache = init_cache(model, B, max_len, policy)
+    params = model.params
+
+    @jax.jit
+    def prefill(params, ids, cache):
+        logits, cache = forward_cached(params, cfg, ids, cache, policy,
+                                       qmap)
+        return jnp.argmax(logits[:, -1], axis=-1), cache
+
+    @jax.jit
+    def decode(params, tok, cache):
+        def step(carry, _):
+            tok, cache = carry
+            logits, cache = forward_cached(params, cfg, tok[:, None],
+                                           cache, policy, qmap)
+            nxt = jnp.argmax(logits[:, -1], axis=-1)
+            return (nxt, cache), nxt
+        (_, cache), toks = jax.lax.scan(step, (tok, cache),
+                                        None, length=max_new_tokens - 1)
+        return toks.T, cache
+
+    tok0, cache = prefill(params, prompt_ids, cache)
+    toks, _ = decode(params, tok0, cache)
+    return jnp.concatenate([prompt_ids, tok0[:, None], toks], axis=1)

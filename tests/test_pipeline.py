@@ -1,0 +1,127 @@
+"""End-to-end engine tests on a tiny random Llama.
+
+Invariants (the reference's implicit acceptance criteria, SURVEY.md §4):
+- 'transformed' must be function-preserving: AWQ/SmoothQuant equivalent
+  transforms leave FP outputs (and thus PPL) unchanged.
+- fake_quant must stay close to pretrain at moderate bit-widths.
+- the KV-cached decode path must match the full forward exactly in FP.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llmc_tpu.models import LlamaAdapter, LlamaConfig
+
+TINY = dict(vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16)
+
+
+def tiny_config(method='RTN', wbit=4, special=None, act=None, extra=None):
+    cfg = {
+        'base': {'seed': 7},
+        'model': {'type': 'Llama',
+                  'arch': dict(TINY, dtype='float32')},
+        'calib': {'name': 'synthetic', 'n_samples': 4, 'bs': -1,
+                  'seq_len': 24, 'seed': 0, 'vocab_size': 128,
+                  'preproc': 'random_truncate_txt'},
+        'eval': {'name': 'synthetic', 'num_tokens': 1536, 'seq_len': 48,
+                 'vocab_size': 128, 'bs': 2,
+                 'eval_pos': ['pretrain', 'transformed', 'fake_quant']},
+        'quant': {'method': method,
+                  'weight': {'bit': wbit, 'symmetric': False,
+                             'granularity': 'per_group', 'group_size': 32}},
+    }
+    if act:
+        cfg['quant']['act'] = act
+    if special:
+        cfg['quant']['special'] = special
+    if extra:
+        cfg.update(extra)
+    return cfg
+
+
+def run(cfg):
+    from llmc_tpu.main import run_pipeline
+    return run_pipeline(cfg)
+
+
+def test_rtn_w4_pipeline():
+    res = run(tiny_config('RTN', wbit=4))
+    assert res['ppl_transformed'] == pytest.approx(res['ppl_pretrain'],
+                                                   rel=1e-6)
+    # random tiny model: fake-quant ppl should be within a loose factor
+    assert res['ppl_fake_quant'] < res['ppl_pretrain'] * 1.5
+
+
+def test_rtn_w8a8_pipeline():
+    res = run(tiny_config('RTN', wbit=8,
+                          act={'bit': 8, 'symmetric': True,
+                               'granularity': 'per_token'}))
+    assert res['ppl_fake_quant'] < res['ppl_pretrain'] * 1.1
+
+
+def test_awq_transform_preserves_fp():
+    res = run(tiny_config('Awq', wbit=4,
+                          special={'trans': True, 'trans_version': 'v2',
+                                   'weight_clip': False}))
+    # equivalent transform: FP function unchanged (within fp32 noise)
+    assert res['ppl_transformed'] == pytest.approx(res['ppl_pretrain'],
+                                                   rel=1e-3)
+
+
+def test_awq_beats_or_matches_rtn():
+    rtn = run(tiny_config('RTN', wbit=3))
+    awq = run(tiny_config('Awq', wbit=3,
+                          special={'trans': True, 'trans_version': 'v2',
+                                   'weight_clip': True,
+                                   'clip_version': 'v1'}))
+    assert awq['ppl_fake_quant'] <= rtn['ppl_fake_quant'] * 1.05
+
+
+def test_smoothquant_preserves_fp():
+    res = run(tiny_config('SmoothQuant', wbit=8,
+                          act={'bit': 8, 'symmetric': True,
+                               'granularity': 'per_token'},
+                          special={'alpha': 0.5}))
+    assert res['ppl_transformed'] == pytest.approx(res['ppl_pretrain'],
+                                                   rel=1e-3)
+
+
+def test_decode_matches_full_forward_fp():
+    from llmc_tpu.serve.decode import decode_nll
+    cfg = LlamaConfig(**TINY, dtype='float32')
+    m = LlamaAdapter.random(cfg, seed=3)
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (1, 16)))
+    # full-forward nll
+    logits = m.forward_logits(ids)
+    lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
+    full_nll = float(-jnp.take_along_axis(
+        lp, ids[:, 1:, None], axis=-1).sum())
+    dec_nll, n = decode_nll(m, ids)
+    assert n == 15
+    assert abs(float(dec_nll) - full_nll) / max(abs(full_nll), 1) < 1e-3
+
+
+def test_greedy_generate_shapes():
+    from llmc_tpu.serve.decode import greedy_generate
+    cfg = LlamaConfig(**TINY, dtype='float32')
+    m = LlamaAdapter.random(cfg, seed=4)
+    prompt = jnp.asarray(np.random.RandomState(1).randint(0, 128, (2, 5)))
+    out = greedy_generate(m, prompt, max_new_tokens=6)
+    assert out.shape == (2, 11)
+
+
+def test_kv_quant_decode_close():
+    from llmc_tpu.serve.decode import decode_nll
+    from llmc_tpu.serve.kvcache import KVCachePolicy
+    cfg = LlamaConfig(**TINY, dtype='float32')
+    m = LlamaAdapter.random(cfg, seed=5)
+    ids = jnp.asarray(np.random.RandomState(2).randint(0, 128, (1, 16)))
+    fp, n = decode_nll(m, ids)
+    q8, _ = decode_nll(m, ids, kv_policy=KVCachePolicy(method='naive',
+                                                       bit=8))
+    assert abs(float(q8) - float(fp)) / max(abs(float(fp)), 1) < 0.05

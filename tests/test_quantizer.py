@@ -124,15 +124,40 @@ def test_mse_calib_not_worse_than_minmax():
     assert err_mse.sum() < err_minmax.sum()
 
 
-def test_hqq_improves_l1():
+def test_hqq_improves_over_own_init():
+    # HQQ refines the zero-points starting from the (non-rounded-zp) minmax
+    # qparams; it must not be worse than that starting point.  (It is NOT
+    # guaranteed to beat rounded-zp minmax — the reference behaves the same
+    # way, see test_hqq_matches_reference.)
     rng = np.random.RandomState(2)
     w = (rng.randn(16, 64) ** 3).astype(np.float32)  # heavy-tailed
-    base = QuantSpec(bit=4, symmetric=False, granularity='per_group',
-                     group_size=32)
-    hqq = base.replace(calib_algo='hqq', round_zp=False)
-    q_base = np.asarray(fake_quant_weight(base, jnp.asarray(w)))
+    init = QuantSpec(bit=4, symmetric=False, granularity='per_group',
+                     group_size=32, round_zp=False)
+    hqq = init.replace(calib_algo='hqq')
+    q_init = np.asarray(fake_quant_weight(init, jnp.asarray(w)))
     q_hqq = np.asarray(fake_quant_weight(hqq, jnp.asarray(w)))
-    assert np.abs(q_hqq - w).mean() <= np.abs(q_base - w).mean() * 1.05
+    assert np.abs(q_hqq - w).mean() <= np.abs(q_init - w).mean() * 1.001
+
+
+def test_hqq_matches_reference():
+    from ref_oracle import load_ref_module, reference_available
+    if not reference_available():
+        pytest.skip('reference tree not mounted')
+    import torch
+    ref = load_ref_module('llmc.compression.quantization.quant')
+    rng = np.random.RandomState(2)
+    w = (rng.randn(16, 64) ** 3).astype(np.float32)
+    rq = ref.IntegerQuantizer(4, False, 'per_group', group_size=32,
+                              calib_algo='hqq', round_zp=False)
+    t, s, z, qmax, qmin = rq.get_tensor_qparams(torch.tensor(w))
+    ref_out = rq.restore_tensor(rq.quant_dequant(t, s, z, qmax, qmin),
+                                (16, 64)).numpy()
+    spec = QuantSpec(bit=4, symmetric=False, granularity='per_group',
+                     group_size=32, calib_algo='hqq', round_zp=False)
+    ours = np.asarray(fake_quant_weight(spec, jnp.asarray(w)))
+    # proximal solver is iterative; allow small fp32 drift
+    assert np.abs(ours - ref_out).mean() < 2e-2
+    assert abs(np.abs(ours - w).mean() - np.abs(ref_out - w).mean()) < 5e-3
 
 
 def test_real_quant_roundtrip_int4():
