@@ -1,0 +1,122 @@
+"""Headline benchmark: Llama-2-7B W4A16 decode throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tokens/s", "vs_baseline": N}
+
+vs_baseline is the fraction of the single-chip weight-streaming roofline
+(HBM bytes touched per decode step / measured step time vs peak HBM BW) —
+the reference publishes no numeric baselines (BASELINE.md), so roofline
+fraction is the honest denominator; >=0.85 is the driver's kernel target.
+
+Env knobs: BENCH_SMALL=1 (tiny model, CI smoke), BENCH_BATCH, BENCH_STEPS.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llmc_tpu.models import LlamaConfig
+from llmc_tpu.quant import QuantSpec
+from llmc_tpu.serve.decode import forward_cached, init_cache
+from llmc_tpu.serve.kvcache import KVCachePolicy
+from llmc_tpu.serve.packed import random_packed_llama
+
+SMALL = os.environ.get('BENCH_SMALL') == '1'
+
+# v5e peak HBM bandwidth (bytes/s)
+HBM_BW = 819e9
+
+
+def llama2_7b() -> LlamaConfig:
+    return LlamaConfig(vocab_size=32000, hidden_size=4096,
+                       intermediate_size=11008, num_hidden_layers=32,
+                       num_attention_heads=32, num_key_value_heads=32,
+                       head_dim=128, dtype='bfloat16')
+
+
+def tiny() -> LlamaConfig:
+    return LlamaConfig(vocab_size=256, hidden_size=256,
+                       intermediate_size=512, num_hidden_layers=2,
+                       num_attention_heads=4, num_key_value_heads=4,
+                       head_dim=64, dtype='bfloat16')
+
+
+def main():
+    cfg = tiny() if SMALL else llama2_7b()
+    B = int(os.environ.get('BENCH_BATCH', 4 if SMALL else 8))
+    prefill_len = 32
+    steps = int(os.environ.get('BENCH_STEPS', 8 if SMALL else 128))
+    max_len = prefill_len + steps
+
+    wspec = QuantSpec(bit=4, symmetric=True, granularity='per_group',
+                      group_size=128 if not SMALL else 64)
+    model, qmap = random_packed_llama(cfg, wspec)
+    policy = KVCachePolicy(method='fp')
+    params = model.params
+    cache = init_cache(model, B, max_len, policy)
+
+    @jax.jit
+    def prefill(params, ids, cache):
+        logits, cache = forward_cached(params, cfg, ids, cache, policy,
+                                       qmap)
+        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+    @jax.jit
+    def decode_n(params, tok, cache):
+        def step(carry, _):
+            tok, cache = carry
+            logits, cache = forward_cached(params, cfg, tok[:, None],
+                                           cache, policy, qmap)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (nxt, cache), None
+        (tok, cache), _ = jax.lax.scan(step, (tok, cache), None,
+                                       length=steps)
+        return tok, cache
+
+    ids = jnp.asarray(np.random.RandomState(0).randint(
+        0, cfg.vocab_size, size=(B, prefill_len)), jnp.int32)
+
+    tok, cache1 = prefill(params, ids, cache)
+    jax.block_until_ready(tok)
+    t0 = time.time()
+    tok2, cache2 = decode_n(params, tok, cache1)
+    jax.block_until_ready(tok2)
+    _compile_and_first = time.time() - t0
+
+    # timed run (compiled)
+    tok, cache1 = prefill(params, ids, cache)
+    jax.block_until_ready(tok)
+    t0 = time.time()
+    tok2, _ = decode_n(params, tok, cache1)
+    jax.block_until_ready(tok2)
+    dt = time.time() - t0
+    tokens_per_s = B * steps / dt
+
+    # weight-streaming roofline: bytes touched per decode step
+    D, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    H, KVH, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    lin_params = L * (D * hd * (H + 2 * KVH) + H * hd * D + 3 * D * I)
+    w_bytes = lin_params * 0.5 + lin_params / wspec.group_size * 4
+    head_bytes = cfg.vocab_size * D * 2  # lm_head bf16 (embed is a gather)
+    kv_bytes = 2 * L * B * (prefill_len + steps / 2) * KVH * hd * 2
+    bytes_per_step = w_bytes + head_bytes + kv_bytes
+    roofline_steps = HBM_BW / bytes_per_step
+    roofline_tokens = roofline_steps * B
+    frac = tokens_per_s / roofline_tokens
+
+    print(json.dumps({
+        'metric': 'llama2_7b_w4a16_decode_tokens_per_s_per_chip'
+        if not SMALL else 'tiny_w4a16_decode_tokens_per_s',
+        'value': round(tokens_per_s, 2),
+        'unit': 'tokens/s',
+        'vs_baseline': round(frac, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -253,15 +253,22 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
     # the per-block step (base:392-462)
     # ------------------------------------------------------------------
     def block_opt(self, idx: int):
+        offloaded = getattr(self.model, 'offloaded', False)
         block = self.model.blocks[idx]
+        if offloaded:
+            from ..utils.offload import tree_to_device
+            block = tree_to_device(block)
         outs, feats = self.block_forward_capture(block)
         if not self.quant_out:
             self.inputs = outs
         block = self.block_transform(idx, block, feats)
-        self.model.set_block(idx, block)
         if self.quant_out:
             self.inputs = self.block_forward(
                 block, qmap=self.fake_quant_qmap(idx))
+        if offloaded:
+            from ..utils.offload import tree_to_host
+            block = tree_to_host(block)
+        self.model.set_block(idx, block)
 
     def block_transform(self, idx: int, block, feats):
         if self.act_static:

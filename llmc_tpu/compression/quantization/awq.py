@@ -89,48 +89,46 @@ class Awq(BaseBlockwiseQuantization):
             gqa_rep = None
 
         aspec, wspec = self.aspec, self.wspec
-        w_only, w48 = self.w_only, self.w48
-        layer_ws = [l['w'] for l in layers]
+        w_only = self.w_only
         qdq = self.w_qdq
 
-        def subset_out(ws_scaled, x_scaled, kw):
-            bp = block
-            for p, w in zip(subset.layers, ws_scaled):
-                lin = dict(get_path(bp, p), w=w)
-                bp = set_path(bp, p, lin)
-            return inspect(bp, x_scaled, kw)
-
-        def loss_for_ratio(ratio, x, kw, org_out, a_scale):
+        # All jitted fns take the block as an ARGUMENT so weights are not
+        # constant-folded into the program: one compile per subset shape,
+        # reused across all L blocks.
+        def loss_for_ratio(bp, ratio, x, kw, org_out, a_scale, w_sc):
             scales = self._scales_from_ratio(
-                a_scale, None if is_gqa else w_scale, ratio)
+                a_scale, None if is_gqa else w_sc, ratio)
             s_col = repeat_gqa_scales(scales, *gqa_rep) if is_gqa else scales
-            ws = [qdq((w.astype(F32) * s_col[None, :]).astype(w.dtype))
-                  for w in layer_ws]
+            for p in subset.layers:
+                lin = get_path(bp, p)
+                w = lin['w']
+                wq = qdq((w.astype(F32) * s_col[None, :]).astype(w.dtype))
+                bp = set_path(bp, p, dict(lin, w=wq))
             x_t = x / s_col.reshape((1,) * (x.ndim - 1) + (-1,))
             if not w_only:
                 x_t = fake_quant_act(aspec, x_t)
-            out = subset_out(ws, x_t, kw)
-            if self.padding_mask is not None:
-                pass  # applied outside per batch when shapes match
+            out = inspect(bp, x_t, kw)
             return jnp.mean((out.astype(F32) - org_out.astype(F32)) ** 2), \
                 scales
 
-        loss_jit = jax.jit(loss_for_ratio)
-        org_jit = jax.jit(lambda x, kw: inspect(block, x, kw))
+        loss_jit = self._jit('awq_loss_' + subset.name, loss_for_ratio)
+        org_jit = self._jit('awq_org_' + subset.name,
+                            lambda bp, x, kw: inspect(bp, x, kw))
         if is_gqa:
-            prev = get_path(block, subset.prev_op)
-            vout_jit = jax.jit(
-                lambda x: jnp.dot(x, prev['w'].T,
-                                  preferred_element_type=F32)
-                .astype(x.dtype)
-                + (prev['b'] if prev.get('b') is not None else 0.0))
+            def vout(bp, x):
+                prev = get_path(bp, subset.prev_op)
+                y = jnp.dot(x, prev['w'].T, preferred_element_type=F32)
+                if prev.get('b') is not None:
+                    y = y + prev['b']
+                return y.astype(x.dtype)
+            vout_jit = self._jit('awq_vout', vout)
 
         n_samples = sum(x.shape[0] for x in inputs)
         org_outs, a_scales = [], []
         for i, x in enumerate(inputs):
             kw = kwargs_list[i] if i < len(kwargs_list) else {}
-            org_outs.append(org_jit(x, kw))
-            ax = vout_jit(x) if is_gqa else x
+            org_outs.append(org_jit(block, x, kw))
+            ax = vout_jit(block, x) if is_gqa else x
             a_scales.append(self.get_act_scale(ax))
         best_err, best_scales = jnp.inf, None
         for n in range(self.n_grid):
@@ -138,13 +136,21 @@ class Awq(BaseBlockwiseQuantization):
             tot, sc = 0.0, 0.0
             for i, x in enumerate(inputs):
                 kw = kwargs_list[i] if i < len(kwargs_list) else {}
-                l, s = loss_jit(ratio, x, kw, org_outs[i], a_scales[i])
+                l, s = loss_jit(block, jnp.asarray(ratio, F32), x, kw,
+                                org_outs[i], a_scales[i], w_scale)
                 wgt = x.shape[0] / n_samples
                 tot = tot + wgt * l
                 sc = sc + wgt * s
             if float(tot) < float(best_err):
                 best_err, best_scales = tot, sc
         return best_scales, is_gqa
+
+    def _jit(self, name, fn):
+        if not hasattr(self, '_awq_jits'):
+            self._awq_jits = {}
+        if name not in self._awq_jits:
+            self._awq_jits[name] = jax.jit(fn)
+        return self._awq_jits[name]
 
     # ------------------------------------------------------------------
     def subset_transform(self, idx, block, subset, feats):

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 F32 = jnp.float32
@@ -117,14 +118,16 @@ def fuse_ln_fcs(ln: Dict, fcs: List[Dict]) -> Tuple[Dict, List[Dict]]:
 
 def rotate_pre_layer(fc: Dict, Q: jnp.ndarray) -> Dict:
     """W <- W @ Q (input-side rotation, base:874-887)."""
-    w = jnp.dot(fc['w'].astype(F64), Q.astype(F64))
+    w = jnp.dot(fc['w'].astype(F64), Q.astype(F64),
+                precision=jax.lax.Precision.HIGHEST)
     return dict(fc, w=_cast_like(w, fc['w']))
 
 
 def rotate_post_layer(fc: Dict, Q: jnp.ndarray) -> Dict:
     """W <- Q^T @ W, b <- Q^T b (output-side rotation, base:889-906)."""
     qt = Q.astype(F64).T
-    w = jnp.dot(qt, fc['w'].astype(F64))
+    w = jnp.dot(qt, fc['w'].astype(F64),
+                precision=jax.lax.Precision.HIGHEST)
     out = dict(fc, w=_cast_like(w, fc['w']))
     if fc.get('b') is not None:
         out['b'] = _cast_like(jnp.dot(qt, fc['b'].astype(F64)), fc['b'])
@@ -133,7 +136,8 @@ def rotate_post_layer(fc: Dict, Q: jnp.ndarray) -> Dict:
 
 def rotate_embedding(embed: Dict, Q: jnp.ndarray) -> Dict:
     """E <- E @ Q (base:908-915)."""
-    w = jnp.dot(embed['w'].astype(F64), Q.astype(F64))
+    w = jnp.dot(embed['w'].astype(F64), Q.astype(F64),
+                precision=jax.lax.Precision.HIGHEST)
     return dict(embed, w=_cast_like(w, embed['w']))
 
 

@@ -57,8 +57,10 @@ def run_pipeline(config: Dict) -> Dict:
     seed_all(config.get('base', {}).get('seed', 42))
     results = {}
     t0 = time.time()
+    from .utils.profiler import TIMER, trace
 
-    model = build_model(config)
+    with TIMER.phase('build_model'):
+        model = build_model(config)
     ev = config.get('eval')
     ev0 = (ev[0] if isinstance(ev, list) else ev) if ev else None
     eval_pos = list(ev0.get('eval_pos', [])) if ev0 else []
@@ -71,7 +73,8 @@ def run_pipeline(config: Dict) -> Dict:
                                       bs=ev0.get('bs', 1))
 
     if ppl_eval and 'pretrain' in eval_pos:
-        results['ppl_pretrain'] = ppl_eval.eval(model)
+        with TIMER.phase('eval_pretrain'):
+            results['ppl_pretrain'] = ppl_eval.eval(model)
 
     blockwise_opt = None
     for modality, mcfg in get_modality(config):
@@ -87,19 +90,34 @@ def run_pipeline(config: Dict) -> Dict:
             inputs, padding_mask = {'data': [], 'kwargs': []}, None
         algo_cls = ALGO_REGISTRY[mcfg['method']]
         blockwise_opt = algo_cls(model, mcfg, inputs, padding_mask, config)
-        blockwise_opt.run_block_loop()
+        with TIMER.phase(f"calib_{mcfg['method']}"), \
+                trace(config.get('base', {}).get('trace_dir')):
+            blockwise_opt.run_block_loop()
 
     if ppl_eval and 'transformed' in eval_pos:
-        results['ppl_transformed'] = ppl_eval.eval(model)
+        with TIMER.phase('eval_transformed'):
+            results['ppl_transformed'] = ppl_eval.eval(model)
     if blockwise_opt is not None and ppl_eval and 'fake_quant' in eval_pos:
         qmap = blockwise_opt.deploy('fake_quant')
-        results['ppl_fake_quant'] = ppl_eval.eval(model, qmap=qmap)
+        with TIMER.phase('eval_fake_quant'):
+            results['ppl_fake_quant'] = ppl_eval.eval(model, qmap=qmap)
         if ev0.get('eval_token_consist'):
             from .eval.ppl import TokenConsistencyEval
             tc = TokenConsistencyEval(_eval_ids(config, model.tokenizer),
                                       seq_len=ev0.get('seq_len', 2048),
                                       bs=ev0.get('bs', 1))
             results['token_consistency'] = tc.eval(model, None, qmap)
+
+    # decode-PPL through the (quantized) KV cache (eval type: decode_ppl)
+    if ev0 and ev0.get('type') == 'decode_ppl' and blockwise_opt is not None:
+        from .eval.ppl import DecodePerplexityEval
+        ids = _eval_ids(config, model.tokenizer)
+        dpe = DecodePerplexityEval(ids, seq_len=ev0.get('seq_len', 2048),
+                                   num_samples=ev0.get('num_samples', 4))
+        qmap = blockwise_opt.deploy('fake_quant')
+        results['decode_ppl_fake_quant'] = dpe.eval(
+            model, qmap=qmap, kv_policy=getattr(blockwise_opt,
+                                                'kv_module', None))
 
     save = config.get('save', {})
     if save.get('save_trans') or save.get('save_fake'):
@@ -109,7 +127,19 @@ def run_pipeline(config: Dict) -> Dict:
             blockwise_opt.bake_fake_quant_weights()
         save_llama_params_to_hf(model.params, out, model.hf_config)
         results['saved_to'] = out
+    backends = {'save_vllm': 'vllm', 'save_sgl': 'sgl',
+                'save_lightllm': 'lightllm', 'save_autoawq': 'autoawq',
+                'save_mlcllm': 'mlcllm'}
+    for flag, backend in backends.items():
+        if save.get(flag) and blockwise_opt is not None:
+            from .export import export_real_quant
+            out = save.get('save_path', './save_' + backend)
+            export_real_quant(model, blockwise_opt.wspec,
+                              dict(blockwise_opt.quant_config), out,
+                              backend=backend)
+            results['saved_to'] = out
     results['wall_s'] = time.time() - t0
+    results['phase_times'] = TIMER.as_dict()
     results['model'] = model
     results['opt'] = blockwise_opt
     return results

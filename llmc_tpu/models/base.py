@@ -59,6 +59,19 @@ class LinearQcfg:
     a_static: bool = False
     w_baked: bool = False
     w_packed: bool = False  # params hold packed codes; use kernel path
+    qmeta: object = None    # ops.dequant_matmul.QMeta when w_packed
+    # LLM.int8 outlier decomposition: columns whose absmax exceeds the
+    # threshold stay FP (llmint8.py get_outlier_indices, as a mask)
+    a_outlier_threshold: Optional[float] = None
+    # QuaRot online rotation before the matmul (RotateLinear,
+    # module_utils.py:460-583): 'full' | 'head' | None
+    pre_had: Optional[str] = None
+    pre_had_dim: int = 0  # head_dim for 'head' mode
+    # straight-through-estimator rounding for gradient-based algorithms
+    # (OmniQuant/TesseraQ training forwards)
+    ste: bool = False
+    # QUIK mixed int/fp columns: params hold 'int_mask' [in_features]
+    mixed_cols: bool = False
 
 
 def linear_apply(p: Dict, x: jax.Array,
@@ -68,22 +81,54 @@ def linear_apply(p: Dict, x: jax.Array,
     Weights use the HF (out_features, in_features) layout so equivalent
     transforms keep the same row/column orientation as the reference.
     """
+    if qcfg is not None and qcfg.pre_had is not None:
+        from ..ops.hadamard import fwht, matmul_hadU
+        if qcfg.pre_had == 'full':
+            x = matmul_hadU(x)
+        else:  # per-head
+            hd = qcfg.pre_had_dim
+            lead = x.shape
+            x = fwht(x.reshape(*lead[:-1], lead[-1] // hd, hd))
+            x = x.reshape(lead)
+    round_fn = jnp.round
+    if qcfg is not None and qcfg.ste:
+        from ..quant.quantizer import ste_round
+        round_fn = ste_round
+    if qcfg is not None and qcfg.mixed_cols:
+        from ..quant.quantizer import (fake_quant_act_masked,
+                                       fake_quant_weight_masked)
+        mask = p['int_mask']
+        if qcfg.a_spec is not None:
+            x = fake_quant_act_masked(qcfg.a_spec, x, mask)
+        w = p['w']
+        if qcfg.w_spec is not None and not qcfg.w_baked:
+            w = fake_quant_weight_masked(qcfg.w_spec, w, mask)
+        y = jnp.dot(x, w.T, preferred_element_type=F32).astype(x.dtype)
+        if p.get('b') is not None:
+            y = y + p['b']
+        return y
     if qcfg is not None and qcfg.a_spec is not None:
-        if qcfg.a_static:
+        if qcfg.a_outlier_threshold is not None:
+            red = tuple(range(x.ndim - 1))
+            col_max = jnp.max(jnp.abs(x.astype(F32)), axis=red)
+            outlier = col_max > qcfg.a_outlier_threshold
+            x = jnp.where(outlier, x, fake_quant_act(qcfg.a_spec, x))
+        elif qcfg.a_static:
             x = fake_quant_act_static(
                 qcfg.a_spec, x, QParams(p['a_scales'], p['a_zeros']))
         else:
-            x = fake_quant_act(qcfg.a_spec, x)
+            x = fake_quant_act(qcfg.a_spec, x, round_fn=round_fn)
     if qcfg is not None and qcfg.w_packed:
         from ..ops.dequant_matmul import dequant_matmul
         y = dequant_matmul(x, p['qweight'], p['scales'], p.get('zeros'),
-                           p['qmeta'])
+                           qcfg.qmeta)
     else:
         w = p['w']
         if qcfg is not None and qcfg.w_spec is not None and not qcfg.w_baked:
             w = fake_quant_weight(qcfg.w_spec, w,
                                   up_factor=p.get('clip_up'),
-                                  low_factor=p.get('clip_low'))
+                                  low_factor=p.get('clip_low'),
+                                  round_fn=round_fn)
         y = jnp.dot(x, w.T, preferred_element_type=F32).astype(x.dtype)
     if p.get('b') is not None:
         y = y + p['b']

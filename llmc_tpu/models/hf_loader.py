@@ -50,15 +50,14 @@ def load_hf_tensors(path: str, dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
     # (per-128-block scales), analog of llmc weight_cast_to_bf16
     # (quant.py:18-30).
     scale_names = [n for n in out if n.endswith('weight_scale_inv')]
+    if scale_names:
+        from ..quant.fp8_block import weight_cast_to_bf16
     for sn in scale_names:
         wn = sn.replace('_scale_inv', '')
-        w = out[wn].astype(jnp.float32)
-        s = out[sn].astype(jnp.float32)
-        bs_m = -(-w.shape[0] // s.shape[0])
-        bs_n = -(-w.shape[1] // s.shape[1])
-        s_full = jnp.repeat(jnp.repeat(s, bs_m, axis=0)[:w.shape[0]],
-                            bs_n, axis=1)[:, :w.shape[1]]
-        out[wn] = (w * s_full)
+        w, s = out[wn], out[sn]
+        bs = -(-w.shape[0] // s.shape[0])
+        out[wn] = weight_cast_to_bf16(w, s, block_size=bs,
+                                      dtype=jnp.float32)
         del out[sn]
     conv = {}
     for name, t in out.items():

@@ -7,10 +7,13 @@ natively: packed int4/int8 weights + per-group scales are dequantized in
 VMEM and fed straight to the MXU (SURVEY.md §7 "Pallas fused
 dequant-matmul").
 
-Int4 packing layout ("group-colsplit"): within each quantization group of
-``gs`` columns, byte c stores original columns c (low nibble) and
-c + gs/2 (high nibble).  Unpacking a tile is two shifts + one reshape —
-no cross-lane interleave — and nibble pairs never straddle a scale group.
+Int4 packing layout ("group-pair"): for each pair of adjacent scale
+groups (2g, 2g+1), byte column c stores original column 2g·gs + c in the
+low nibble and (2g+1)·gs + c in the high nibble.  The kernel processes
+one group-pair per k-step: unpack is two shifts (pure elementwise), the
+scales are per-half [TN, 1] scalar broadcasts, and the two halves feed
+two MXU dots — no lane-dimension reshape/concat anywhere (Mosaic
+rejects sub-lane vector reshapes).
 
 A pure-XLA path keeps CPU tests exact and serves as the fallback.
 """
@@ -41,7 +44,7 @@ class QMeta:
 
 
 # --------------------------------------------------------------------------
-# Packing (group-colsplit)
+# Packing (group-pair)
 # --------------------------------------------------------------------------
 
 def pack_weight(codes: jax.Array, scales: jax.Array,
@@ -53,10 +56,17 @@ def pack_weight(codes: jax.Array, scales: jax.Array,
     N, K = codes.shape
     gs = meta.group_size if meta.group_size > 0 else K
     if meta.bits == 4:
+        assert (K // gs) % 2 == 0 or K == gs, \
+            f'group-pair packing needs an even group count ({K}/{gs})'
         u = (codes.astype(jnp.int32) & 0xF).astype(jnp.uint8)
-        u = u.reshape(N, K // gs, gs)
-        lo, hi = u[..., :gs // 2], u[..., gs // 2:]
-        packed = (lo | (hi << 4)).astype(jnp.int8).reshape(N, K // 2)
+        if K == gs:  # single group: pair = halves of the group
+            lo, hi = u[:, :K // 2], u[:, K // 2:]
+        else:
+            u = u.reshape(N, K // (2 * gs), 2, gs)
+            lo, hi = u[:, :, 0, :], u[:, :, 1, :]
+            lo = lo.reshape(N, K // 2)
+            hi = hi.reshape(N, K // 2)
+        packed = (lo | (hi << 4)).astype(jnp.int8)
     else:
         packed = codes.astype(jnp.int8)
     s = scales.reshape(N, -1).astype(F32)
@@ -64,31 +74,26 @@ def pack_weight(codes: jax.Array, scales: jax.Array,
     return packed, s, z
 
 
-def _decode_nibbles(packed_tile: jax.Array, gs: int, sym: bool
-                    ) -> jax.Array:
-    """[TN, TK/2] int8 -> [TN, TK] f32 codes (group-colsplit layout)."""
-    TN, half = packed_tile.shape
-    TK = half * 2
-    u = packed_tile.astype(jnp.int32) & 0xFF
-    lo = (u & 0xF)
-    hi = (u >> 4)
-    # [TN, TK/gs, gs/2] each -> concat within group -> [TN, TK/gs, gs]
-    lo = lo.reshape(TN, TK // gs, gs // 2)
-    hi = hi.reshape(TN, TK // gs, gs // 2)
-    codes = jnp.concatenate([lo, hi], axis=-1)
-    if sym:
-        codes = codes - jnp.where(codes >= 8, 16, 0)
-    return codes.astype(F32)  # [TN, TK/gs, gs]
-
-
 def unpack_weight_xla(packed: jax.Array, meta: QMeta) -> jax.Array:
     """Inverse of pack_weight -> integer codes [N, K] as float32."""
-    if meta.bits == 4:
-        N = packed.shape[0]
-        gs = meta.group_size if meta.group_size > 0 else packed.shape[1] * 2
-        codes = _decode_nibbles(packed, gs, meta.symmetric)
-        return codes.reshape(N, -1)
-    return packed.astype(F32)
+    if meta.bits != 4:
+        return packed.astype(F32)
+    N, half = packed.shape
+    K = half * 2
+    gs = meta.group_size if meta.group_size > 0 else K
+    u = packed.astype(jnp.int32) & 0xFF
+    lo = (u & 0xF)
+    hi = (u >> 4)
+    if meta.symmetric:
+        lo = lo - jnp.where(lo >= 8, 16, 0)
+        hi = hi - jnp.where(hi >= 8, 16, 0)
+    if K == gs:
+        codes = jnp.concatenate([lo, hi], axis=-1)
+    else:
+        lo = lo.reshape(N, K // (2 * gs), 1, gs)
+        hi = hi.reshape(N, K // (2 * gs), 1, gs)
+        codes = jnp.concatenate([lo, hi], axis=2).reshape(N, K)
+    return codes.astype(F32)
 
 
 # --------------------------------------------------------------------------
@@ -116,25 +121,43 @@ def _dequant_matmul_xla(x, packed, scales, zeros, meta: QMeta):
 # --------------------------------------------------------------------------
 
 def _kernel_w4(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, n_k: int,
-               gs: int, sym: bool):
-    """Grid (i, j, k): x [TM, TK] bf16, w [TN, TK/2] int8 packed,
-    s/z [TN, TK/gs] f32."""
+               sym: bool, single_group: bool):
+    """Grid (i, j, k): one group-pair per k step.
+    x [TM, 2gs] bf16, w [TN, gs] packed int8, s/z [TN, 2] f32."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    codes = _decode_nibbles(w_ref[:], gs, sym)      # [TN, ng, gs]
-    s = s_ref[:].astype(F32)[:, :, None]            # [TN, ng, 1]
+    u = w_ref[:].astype(jnp.int32) & 0xFF
+    lo = (u & 0xF)
+    hi = (u >> 4)
+    if sym:
+        lo = lo - jnp.where(lo >= 8, 16, 0)
+        hi = hi - jnp.where(hi >= 8, 16, 0)
+    lo = lo.astype(F32)
+    hi = hi.astype(F32)
+    # scales/zeros arrive as [ng/2, N, 2] so each k step's block is a
+    # static [1, TN, 2] slice (Mosaic rejects sub-128 dynamic lane slices)
+    s0 = s_ref[0, :, 0:1].astype(F32)
+    s1 = s0 if single_group else s_ref[0, :, 1:2].astype(F32)
     if not sym:
-        codes = codes - z_ref[:].astype(F32)[:, :, None]
-    TN = codes.shape[0]
-    w = (codes * s).reshape(TN, -1)                 # [TN, TK]
-    acc_ref[:] += jax.lax.dot_general(
-        x_ref[:].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=F32)
+        z0 = z_ref[0, :, 0:1].astype(F32)
+        z1 = z0 if single_group else z_ref[0, :, 1:2].astype(F32)
+        lo = lo - z0
+        hi = hi - z1
+    w0 = (lo * s0).astype(jnp.bfloat16)
+    w1 = (hi * s1).astype(jnp.bfloat16)
+    gs = w0.shape[1]
+    x = x_ref[:].astype(jnp.bfloat16)
+    x0 = x[:, :gs]
+    x1 = x[:, gs:]
+    acc_ref[:] += (
+        jax.lax.dot_general(x0, w0, (((1,), (1,)), ((), ())),
+                            preferred_element_type=F32)
+        + jax.lax.dot_general(x1, w1, (((1,), (1,)), ((), ())),
+                              preferred_element_type=F32))
 
     @pl.when(k == n_k - 1)
     def _():
@@ -142,7 +165,9 @@ def _kernel_w4(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, n_k: int,
 
 
 def _kernel_w8(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, n_k: int,
-               gs: int, sym: bool):
+               sym: bool):
+    """Grid (i, j, k): one scale group per k step.
+    x [TM, gs] bf16, w [TN, gs] int8, s/z [TN, 1] f32."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -150,14 +175,11 @@ def _kernel_w8(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, n_k: int,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     codes = w_ref[:].astype(F32)
-    TN, TK = codes.shape
-    codes = codes.reshape(TN, TK // gs, gs)
     if not sym:
-        codes = codes - z_ref[:].astype(F32)[:, :, None]
-    w = (codes * s_ref[:].astype(F32)[:, :, None]).reshape(TN, TK)
+        codes = codes - z_ref[0].astype(F32)
+    w = (codes * s_ref[0].astype(F32)).astype(jnp.bfloat16)
     acc_ref[:] += jax.lax.dot_general(
-        x_ref[:].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        x_ref[:].astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
         preferred_element_type=F32)
 
     @pl.when(k == n_k - 1)
@@ -169,34 +191,53 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=('meta', 'tm', 'tn', 'tk'))
+@functools.partial(jax.jit, static_argnames=('meta', 'tm', 'tn',
+                                             'interpret'))
 def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
-                          tm: int = 256, tn: int = 256, tk: int = 512):
+                          tm: int = 256, tn: int = 256,
+                          interpret: bool = False):
     """y = x @ dequant(packed).T on TPU."""
     M, K = x.shape
     N = meta.out_features
     gs = meta.group_size if meta.group_size > 0 else K
+    ng = K // gs
     tm = min(tm, _round_up(M, 16))
     tn = min(tn, N)
-    tk = min(tk, K)
-    assert K % tk == 0 and N % tn == 0 and tk % gs == 0, \
-        (K, N, tk, tn, gs)
+    while N % tn:
+        tn //= 2
     Mp = _round_up(M, tm)
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
-    n_k = K // tk
-    grid = (Mp // tm, N // tn, n_k)
     sym = meta.symmetric
-    body = _kernel_w4 if meta.bits == 4 else _kernel_w8
-    kernel = functools.partial(body, n_k=n_k, gs=gs, sym=sym)
-    kdiv = 2 if meta.bits == 4 else 1
-    in_specs = [
-        pl.BlockSpec((tm, tk), lambda i, j, k: (i, k)),
-        pl.BlockSpec((tn, tk // kdiv), lambda i, j, k: (j, k)),
-        pl.BlockSpec((tn, tk // gs), lambda i, j, k: (j, k)),
-        pl.BlockSpec((tn, tk // gs), lambda i, j, k: (j, k)),
-    ]
     z = zeros if zeros is not None else jnp.zeros_like(scales)
+    if meta.bits == 4:
+        # one group-pair (or one whole single-group layer) per k step
+        pair = 2 * gs if ng > 1 else gs
+        n_k = K // pair
+        spg = max(ng // n_k, 1)  # scale cols per k step (2, or 1 single)
+        s3 = scales.reshape(N, n_k, spg).transpose(1, 0, 2)
+        z3 = z.reshape(N, n_k, spg).transpose(1, 0, 2)
+        kernel = functools.partial(_kernel_w4, n_k=n_k, sym=sym,
+                                   single_group=(ng == 1))
+        in_specs = [
+            pl.BlockSpec((tm, pair), lambda i, j, k: (i, k)),
+            pl.BlockSpec((tn, pair // 2), lambda i, j, k: (j, k)),
+            pl.BlockSpec((1, tn, spg), lambda i, j, k: (k, j, 0)),
+            pl.BlockSpec((1, tn, spg), lambda i, j, k: (k, j, 0)),
+        ]
+    else:
+        n_k = ng
+        s3 = scales.reshape(N, ng, 1).transpose(1, 0, 2)
+        z3 = z.reshape(N, ng, 1).transpose(1, 0, 2)
+        kernel = functools.partial(_kernel_w8, n_k=n_k, sym=sym)
+        in_specs = [
+            pl.BlockSpec((tm, gs), lambda i, j, k: (i, k)),
+            pl.BlockSpec((tn, gs), lambda i, j, k: (j, k)),
+            pl.BlockSpec((1, tn, 1), lambda i, j, k: (k, j, 0)),
+            pl.BlockSpec((1, tn, 1), lambda i, j, k: (k, j, 0)),
+        ]
+    grid = (Mp // tm, N // tn, n_k)
+    kdiv = 2 if meta.bits == 4 else 1
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -204,11 +245,12 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
         scratch_shapes=[pltpu.VMEM((tm, tn), F32)],
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * N * K,
             bytes_accessed=Mp * K * 2 + N * K // kdiv + Mp * N * 2,
             transcendentals=0),
-    )(x, packed, scales, z)
+    )(x, packed, s3, z3)
     return out[:M]
 
 
@@ -221,8 +263,15 @@ def dequant_matmul(x, packed, scales, zeros, meta: QMeta,
     """Dispatch: Pallas on TPU, XLA elsewhere.  Accepts [*, K] inputs."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    use_pallas = (not force_xla and jax.default_backend() == 'tpu'
-                  and meta.bits in (4, 8))
+    # the axon tunnel may register TPU devices under other platform names
+    dev0 = jax.devices()[0]
+    on_tpu = dev0.platform in ('tpu', 'axon') or 'tpu' in str(
+        getattr(dev0, 'device_kind', '')).lower()
+    gs = meta.group_size if meta.group_size > 0 else meta.in_features
+    ng = max(meta.in_features // gs, 1)
+    pallas_ok = (meta.bits == 8) or (ng % 2 == 0 or ng == 1)
+    use_pallas = (not force_xla and on_tpu and meta.bits in (4, 8)
+                  and pallas_ok)
     if use_pallas:
         y = dequant_matmul_pallas(x2, packed, scales, zeros, meta)
     else:

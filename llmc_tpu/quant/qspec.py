@@ -26,8 +26,10 @@ FLOAT_FORMATS = {
     'e2m1': (2, 1, 6.0),
 }
 
-GRANULARITIES = ('per_tensor', 'per_channel', 'per_group', 'per_head',
-                 'per_block')
+# per_token (activations) and per_channel (weights) both reduce over the
+# last axis; they are distinct names to mirror reference configs.
+GRANULARITIES = ('per_tensor', 'per_channel', 'per_token', 'per_group',
+                 'per_head', 'per_block')
 
 
 @dataclasses.dataclass(frozen=True)

@@ -294,7 +294,8 @@ def fake_quant_weight_static(spec: QuantSpec, w: jax.Array, qp: QParams,
     return restore_tensor(spec, out, w.shape).astype(orig_dtype)
 
 
-def fake_quant_act(spec: Optional[QuantSpec], a: jax.Array) -> jax.Array:
+def fake_quant_act(spec: Optional[QuantSpec], a: jax.Array,
+                   round_fn=jnp.round) -> jax.Array:
     """Dynamic activation fake-quant (quant.py:744-782)."""
     if spec is None:
         return a
@@ -304,7 +305,7 @@ def fake_quant_act(spec: Optional[QuantSpec], a: jax.Array) -> jax.Array:
         out = _float_elementwise_qdq(spec, t)
     else:
         t, qp = tensor_qparams(spec, a)
-        out = quant_dequant(spec, t, qp)
+        out = quant_dequant(spec, t, qp, round_fn=round_fn)
     return restore_tensor(spec, out, a.shape).astype(orig_dtype)
 
 
@@ -384,6 +385,52 @@ def fake_quant_weight_w48(spec8: QuantSpec, spec4: QuantSpec,
     q4r = restore_tensor(spec4, q4, w.shape)
     out = dequant(spec8, reshape_tensor(spec8, q4r), qp8)
     return restore_tensor(spec8, out, w.shape).astype(orig_dtype)
+
+
+# --------------------------------------------------------------------------
+# Mixed int/fp columns (QUIK / LLM.int8 style, quant.py int_indices paths)
+# --------------------------------------------------------------------------
+
+def fake_quant_weight_masked(spec: QuantSpec, w: jax.Array,
+                             int_mask: jax.Array) -> jax.Array:
+    """Quantize only columns where int_mask is True; qparams are computed
+    from the int columns alone (per-channel reduction).  Mirrors
+    fake_quant_weight_dynamic with int_indices (quant.py:843-867) without
+    dynamic gathers."""
+    wf = w.astype(F32)
+    big = jnp.float32(3.4e38)
+    masked = jnp.where(int_mask[None, :], wf, 0.0)
+    if spec.symmetric:
+        amax = jnp.clip(jnp.max(jnp.abs(masked), axis=-1, keepdims=True),
+                        1e-5, None)
+        qp = QParams(amax / spec.qmax, jnp.zeros((), F32))
+    else:
+        mn = jnp.min(jnp.where(int_mask[None, :], wf, big), -1,
+                     keepdims=True)
+        mx = jnp.max(jnp.where(int_mask[None, :], wf, -big), -1,
+                     keepdims=True)
+        qp = qparams_from_range(spec, (mn, mx))
+    q = quant_dequant(spec, wf, qp)
+    return jnp.where(int_mask[None, :], q, wf).astype(w.dtype)
+
+
+def fake_quant_act_masked(spec: QuantSpec, a: jax.Array,
+                          int_mask: jax.Array) -> jax.Array:
+    """Per-token act quant over int columns only (quant.py:744-782 with
+    int_indices)."""
+    af = a.astype(F32)
+    big = jnp.float32(3.4e38)
+    sel = int_mask.reshape((1,) * (a.ndim - 1) + (-1,))
+    if spec.symmetric:
+        amax = jnp.clip(jnp.max(jnp.abs(jnp.where(sel, af, 0.0)), -1,
+                                keepdims=True), 1e-5, None)
+        qp = QParams(amax / spec.qmax, jnp.zeros((), F32))
+    else:
+        mn = jnp.min(jnp.where(sel, af, big), -1, keepdims=True)
+        mx = jnp.max(jnp.where(sel, af, -big), -1, keepdims=True)
+        qp = qparams_from_range(spec, (mn, mx))
+    q = quant_dequant(spec, af, qp)
+    return jnp.where(sel, q, af).astype(a.dtype)
 
 
 # --------------------------------------------------------------------------

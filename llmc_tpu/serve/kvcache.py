@@ -204,3 +204,13 @@ def _sink(quant_type, kvcfg, n_blocks, **kw):
     return KVCachePolicy(method='sink',
                          num_sink_tokens=int(kw.get('num_sink_tokens', 4)),
                          window_length=int(kw.get('window_length', 256)))
+
+
+@KV_REGISTRY.register(name='ShadowKV')
+def _shadowkv(quant_type, kvcfg, n_blocks, **kw):
+    from .shadowkv import ShadowKVPolicy
+    return ShadowKVPolicy(
+        sparse_budget=int(kw.get('sparse_budget', 1024)),
+        chunk_size=int(kw.get('chunk_size', 8)),
+        rank=int(kw.get('rank', 160)),
+        outlier_chunk=int(kw.get('outlier_chunk', 48)))

@@ -1,9 +1,12 @@
 """Test configuration: force CPU with 8 virtual devices so multi-chip
 sharding is exercised without TPU hardware (SURVEY.md section 4).
 
-NOTE: the environment pre-sets JAX_PLATFORMS=axon (the TPU tunnel), so we
-must overwrite (not setdefault) before jax initializes — otherwise every
-test compile goes over the tunnel and the suite is ~100x slower.
+NOTE: this environment pre-sets JAX_PLATFORMS=axon AND imports jax at
+interpreter start via /root/.axon_site/sitecustomize.py, so environment
+variables assigned here are too late — the platform must be forced
+through jax.config (still before first backend use), and XLA_FLAGS is
+only read at backend init so the env assignment still works for the
+8-device CPU mesh.
 """
 
 import os
@@ -13,3 +16,7 @@ _flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
         _flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402  (already imported by sitecustomize)
+
+jax.config.update('jax_platforms', 'cpu')

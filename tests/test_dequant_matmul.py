@@ -1,0 +1,109 @@
+"""Fused dequant-matmul: packing roundtrip + pallas-interpret vs XLA."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llmc_tpu.ops.dequant_matmul import (QMeta, dequant_matmul,
+                                         dequant_matmul_pallas,
+                                         dequant_weight_xla, pack_weight,
+                                         unpack_weight_xla)
+
+
+def _mk(bits=4, sym=False, N=128, K=256, gs=128, seed=0):
+    rng = np.random.RandomState(seed)
+    lo, hi = (-(2 ** (bits - 1)), 2 ** (bits - 1) - 1) if sym \
+        else (0, 2 ** bits - 1)
+    codes = rng.randint(lo, hi + 1, size=(N, K)).astype(np.int8)
+    scales = (0.01 + rng.rand(N, K // gs)).astype(np.float32) * 0.02
+    zeros = None if sym else rng.randint(lo, hi + 1, (N, K // gs)) \
+        .astype(np.float32)
+    meta = QMeta(bits=bits, group_size=gs, symmetric=sym,
+                 out_features=N, in_features=K)
+    packed, s, z = pack_weight(jnp.asarray(codes), jnp.asarray(scales),
+                               jnp.asarray(zeros) if zeros is not None
+                               else None, meta)
+    return codes, scales, zeros, packed, s, z, meta
+
+
+@pytest.mark.parametrize('sym', [True, False])
+def test_pack_unpack_roundtrip(sym):
+    codes, scales, zeros, packed, s, z, meta = _mk(sym=sym)
+    rec = np.asarray(unpack_weight_xla(packed, meta))
+    if sym:
+        np.testing.assert_array_equal(rec, codes.astype(np.float32))
+    else:
+        np.testing.assert_array_equal(rec, (codes.astype(np.int32) & 0xF)
+                                      .astype(np.float32))
+
+
+@pytest.mark.parametrize('sym', [True, False])
+def test_dequant_weight_matches_manual(sym):
+    codes, scales, zeros, packed, s, z, meta = _mk(sym=sym)
+    w = np.asarray(dequant_weight_xla(packed, s, z, meta))
+    c = codes.astype(np.float32) if sym else (codes.astype(np.int32)
+                                              & 0xF).astype(np.float32)
+    gs = meta.group_size
+    cg = c.reshape(meta.out_features, -1, gs)
+    if zeros is not None:
+        cg = cg - zeros[:, :, None]
+    ref = (cg * scales[:, :, None]).reshape(c.shape)
+    np.testing.assert_allclose(w, ref, rtol=1e-6)
+
+
+@pytest.mark.parametrize('sym', [True, False])
+def test_pallas_interpret_matches_xla(sym):
+    codes, scales, zeros, packed, s, z, meta = _mk(sym=sym, N=128, K=256,
+                                                   gs=128)
+    x = jnp.asarray(np.random.RandomState(1).randn(8, 256)
+                    .astype(np.float32) * 0.1)
+    ref = np.asarray(dequant_matmul(x, packed, s, z, meta,
+                                    force_xla=True))
+    got = np.asarray(dequant_matmul_pallas(
+        x.astype(jnp.bfloat16), packed, s, z, meta,
+        tm=16, tn=128, interpret=True))
+    # bf16 inputs in the kernel: compare loosely
+    rel = np.abs(got.astype(np.float32) - ref).max() / \
+        (np.abs(ref).max() + 1e-9)
+    assert rel < 0.03
+
+
+def test_int8_kernel_interpret():
+    codes, scales, zeros, packed, s, z, meta = _mk(bits=8, sym=True,
+                                                   N=128, K=256, gs=128)
+    x = jnp.asarray(np.random.RandomState(2).randn(4, 256)
+                    .astype(np.float32) * 0.1)
+    ref = np.asarray(dequant_matmul(x, packed, s, z, meta,
+                                    force_xla=True))
+    got = np.asarray(dequant_matmul_pallas(
+        x.astype(jnp.bfloat16), packed, s, z, meta, tm=16, tn=128,
+        interpret=True))
+    rel = np.abs(got.astype(np.float32) - ref).max() / \
+        (np.abs(ref).max() + 1e-9)
+    assert rel < 0.03
+
+
+def test_packed_serving_engine_cpu_fallback():
+    """pack_model + ServingEngine end-to-end (XLA path on CPU)."""
+    import numpy as np
+    from llmc_tpu.models import LlamaAdapter, LlamaConfig
+    from llmc_tpu.quant import QuantSpec
+    from llmc_tpu.serve.packed import pack_model
+    from llmc_tpu.serve.engine import Request, ServingEngine
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      head_dim=16, dtype='float32')
+    m = LlamaAdapter.random(cfg, seed=0)
+    wspec = QuantSpec(bit=4, symmetric=True, granularity='per_group',
+                      group_size=32)
+    qmap = pack_model(m, wspec)
+    eng = ServingEngine(m, qmap=qmap, max_batch=2, max_len=48,
+                        prefill_buckets=(8, 16))
+    rng = np.random.RandomState(0)
+    reqs = [Request(uid=i, prompt_ids=rng.randint(0, 128, (5 + i,)),
+                    max_new_tokens=5) for i in range(3)]
+    eng.run(reqs)
+    assert all(r.done and len(r.output_ids) == 5 for r in reqs)

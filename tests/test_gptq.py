@@ -1,0 +1,70 @@
+"""GPTQ invariants: error-compensated rounding must beat plain RTN on the
+calibration distribution, and the pipeline must preserve FP at
+'transformed' (GPTQ writes compensated FP weights, not qdq)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from test_pipeline import tiny_config, run
+
+
+def _make_gptq(wcfg_special=None):
+    from llmc_tpu.utils import Cfg, ALGO_REGISTRY
+    import llmc_tpu.compression  # noqa: F401
+    from llmc_tpu.models import build_model
+    cfg = Cfg(tiny_config('GPTQ', wbit=4,
+                          special=wcfg_special or {'actorder': False}))
+    model = build_model(cfg)
+    algo = ALGO_REGISTRY['GPTQ'](model, cfg['quant'],
+                                 {'data': [], 'kwargs': []}, None, cfg)
+    return algo
+
+
+def test_gptq_layer_beats_rtn():
+    from llmc_tpu.quant import QuantSpec, fake_quant_weight
+    algo = _make_gptq()
+    rng = np.random.RandomState(0)
+    oc, C, T = 32, 64, 256
+    W = rng.randn(oc, C).astype(np.float32)
+    X = (rng.randn(T, C) * (1 + 3 * rng.rand(C))).astype(np.float32)
+    H = algo._hessian([jnp.asarray(X)])
+    lin = {'w': jnp.asarray(W), 'b': None}
+    new = algo.layer_transform(lin, H)
+    assert 'gptq_scales' in new
+    Wq_gptq = np.asarray(algo.static_w_qdq(new))
+    spec = algo.wspec
+    Wq_rtn = np.asarray(fake_quant_weight(spec, jnp.asarray(W)))
+    err_gptq = ((X @ (Wq_gptq - W).T) ** 2).mean()
+    err_rtn = ((X @ (Wq_rtn - W).T) ** 2).mean()
+    assert err_gptq < err_rtn
+
+
+def test_gptq_actorder_runs():
+    algo = _make_gptq({'actorder': True})
+    rng = np.random.RandomState(1)
+    W = rng.randn(16, 64).astype(np.float32)
+    X = (rng.randn(128, 64) * (1 + 5 * rng.rand(64))).astype(np.float32)
+    H = algo._hessian([jnp.asarray(X)])
+    new = algo.layer_transform({'w': jnp.asarray(W), 'b': None}, H)
+    assert 'perm' in new
+    Wq = np.asarray(algo.static_w_qdq(new))
+    assert Wq.shape == W.shape and np.isfinite(Wq).all()
+
+
+def test_gptq_pipeline():
+    res = run(tiny_config('GPTQ', wbit=4,
+                          special={'actorder': True, 'percdamp': 0.01},
+                          extra={'quant_extra': None}))
+    # transformed keeps compensated FP weights -> close to pretrain but
+    # not identical (compensation shifts weights slightly)
+    assert res['ppl_transformed'] < res['ppl_pretrain'] * 1.2
+    assert res['ppl_fake_quant'] < res['ppl_pretrain'] * 1.5
+
+
+def test_gptq_quant_out_pipeline():
+    cfg = tiny_config('GPTQ', wbit=4, special={'actorder': False})
+    cfg['quant']['quant_out'] = True
+    res = run(cfg)
+    assert np.isfinite(res['ppl_fake_quant'])

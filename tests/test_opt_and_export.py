@@ -1,0 +1,124 @@
+"""OPT parity vs HF + export-format tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+OPT_TINY = dict(vocab_size=256, hidden_size=64, ffn_dim=128,
+                num_hidden_layers=2, num_attention_heads=4,
+                max_position_embeddings=64)
+
+
+@pytest.fixture(scope='module')
+def tiny_opt_dir(tmp_path_factory):
+    torch = pytest.importorskip('torch')
+    from transformers import OPTConfig, OPTForCausalLM
+    cfg = OPTConfig(word_embed_proj_dim=64, do_layer_norm_before=True,
+                    **OPT_TINY)
+    torch.manual_seed(0)
+    model = OPTForCausalLM(cfg)
+    model.eval()
+    d = tmp_path_factory.mktemp('tiny_opt')
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+def test_opt_forward_matches_hf(tiny_opt_dir):
+    import torch
+    path, hf_model = tiny_opt_dir
+    from llmc_tpu.models.adapter import OptAdapter
+    ours = OptAdapter.from_pretrained(path)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, 256, size=(2, 10))
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(ids)).logits.float().numpy()
+    got = np.asarray(ours.forward_logits(jnp.asarray(ids)))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_opt_awq_pipeline(tiny_opt_dir):
+    path, _ = tiny_opt_dir
+    from llmc_tpu.main import run_pipeline
+    cfg = {
+        'base': {'seed': 1},
+        'model': {'type': 'Opt', 'path': path},
+        'calib': {'name': 'synthetic', 'n_samples': 4, 'bs': -1,
+                  'seq_len': 16, 'seed': 0, 'vocab_size': 256},
+        'eval': {'name': 'synthetic', 'num_tokens': 1024, 'seq_len': 32,
+                 'vocab_size': 256, 'bs': 2,
+                 'eval_pos': ['pretrain', 'transformed', 'fake_quant']},
+        'quant': {'method': 'Awq',
+                  'weight': {'bit': 4, 'symmetric': False,
+                             'granularity': 'per_group', 'group_size': 32},
+                  'special': {'trans': True, 'trans_version': 'v2',
+                              'weight_clip': False}},
+    }
+    res = run_pipeline(cfg)
+    # OPT has biases; scale_ln_fcs must preserve FP function
+    assert res['ppl_transformed'] == pytest.approx(res['ppl_pretrain'],
+                                                   rel=2e-3)
+    assert np.isfinite(res['ppl_fake_quant'])
+
+
+def test_vllm_pack_roundtrip():
+    from llmc_tpu.export.formats import pack_int32_rows
+    rng = np.random.RandomState(0)
+    codes = rng.randint(0, 16, size=(8, 64)).astype(np.uint8)
+    packed = pack_int32_rows(codes, 4)
+    assert packed.shape == (8, 8) and packed.dtype == np.int32
+    u = packed.view(np.uint32)
+    rec = np.zeros_like(codes)
+    for i in range(8):
+        rec[:, i::8] = (u >> (4 * i)) & 0xF
+    np.testing.assert_array_equal(rec, codes)
+
+
+def test_awq_gemm_pack_layout():
+    from llmc_tpu.export.formats import AWQ_ORDER, export_awq_gemm_linear
+    rng = np.random.RandomState(1)
+    oc, ic, gs = 16, 32, 16
+    codes = rng.randint(0, 16, size=(oc, ic)).astype(np.uint8)
+    scales = rng.rand(oc, ic // gs).astype(np.float32)
+    zeros = rng.randint(0, 16, size=(oc, ic // gs)).astype(np.float32)
+    out = export_awq_gemm_linear(codes, scales, zeros, 4, gs)
+    assert out['qweight'].shape == (ic, oc // 8)
+    assert out['qzeros'].shape == (ic // gs, oc // 8)
+    assert out['scales'].shape == (ic // gs, oc)
+    # unpack qweight and verify AWQ order
+    u = out['qweight'].view(np.uint32)
+    rec = np.zeros((ic, oc), np.uint8)
+    for i in range(8):
+        rec[:, AWQ_ORDER[i]::8] = ((u >> (4 * i)) & 0xF).astype(np.uint8)
+    np.testing.assert_array_equal(rec, codes.T)
+
+
+def test_export_vllm_checkpoint(tmp_path):
+    from llmc_tpu.export import export_real_quant
+    from llmc_tpu.models import LlamaAdapter, LlamaConfig
+    from llmc_tpu.quant import QuantSpec
+    cfg = LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=1, num_attention_heads=2,
+                      num_key_value_heads=2, head_dim=16, dtype='float32')
+    m = LlamaAdapter.random(cfg)
+    m.hf_config = {'model_type': 'llama', 'num_hidden_layers': 1}
+    wspec = QuantSpec(bit=4, symmetric=False, granularity='per_group',
+                      group_size=16)
+    qcfg = {'weight': {'bit': 4, 'symmetric': False,
+                       'granularity': 'per_group', 'group_size': 16,
+                       'need_pack': True}}
+    out = str(tmp_path / 'vllm_ckpt')
+    export_real_quant(m, wspec, qcfg, out, backend='vllm')
+    assert os.path.exists(os.path.join(out, 'model.safetensors'))
+    with open(os.path.join(out, 'config.json')) as f:
+        c = json.load(f)
+    assert c['compression_config']['format'] == 'pack-quantized'
+    from safetensors.numpy import load_file
+    flat = load_file(os.path.join(out, 'model.safetensors'))
+    assert 'model.layers.0.self_attn.q_proj.weight_packed' in flat
+    assert flat['model.layers.0.self_attn.q_proj.weight_scale'].dtype \
+        == np.float16
