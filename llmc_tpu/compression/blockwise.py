@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.adapter import BaseAdapter, QMap
-from ..models.base import LinearQcfg, get_path, set_path
+from ..models.base import LinearQcfg, get_path, has_path, set_path
 from ..quant.qspec import QuantSpec, spec_from_config
 from ..quant.quantizer import (QParams, fake_quant_act, fake_quant_weight,
                                fake_quant_weight_w48, real_quant_weight,
@@ -274,6 +274,8 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
         if self.act_static:
             self.register_static_act_qparams(idx, feats)
         for i, subset in enumerate(self.layout.subsets):
+            if not has_path(block, subset.layers[0]):
+                continue  # mixed-arch block lacks this subset
             block = self.subset_transform(idx, block, subset, feats)
             if self.true_sequential and i != len(self.layout.subsets) - 1:
                 # recompute activations with this subset fake-quantized
@@ -348,6 +350,8 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
             blk = self.model.blocks[b]
             for path in self.layout.linears:
                 if self.layer_is_ignored(b, path):
+                    continue
+                if not has_path(blk, path):
                     continue
                 lin = get_path(blk, path)
                 up, low = lin.get('clip_up'), lin.get('clip_low')

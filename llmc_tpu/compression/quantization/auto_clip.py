@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...models.base import get_path, set_path
+from ...models.base import get_path, has_path, set_path
 from ...quant.qspec import QuantSpec
 from ...quant.quantizer import (QParams, fake_quant_act, fake_quant_weight,
                                 learnable_range, minmax_range,
@@ -54,6 +54,8 @@ class AutoClipper:
         for path in layout.linears:
             leaf = path.split('.')[-1]
             if any(t in leaf for t in ('q_', 'k_', 'query', 'key', 'Wqkv')):
+                continue
+            if not has_path(block, path):
                 continue
             lin = get_path(block, path)
             key = layout.capture_key(path)

@@ -378,6 +378,105 @@ class MixtralAdapter(LlamaAdapter):
         return self.head_fn()(self.params, x)
 
 
+@MODEL_REGISTRY.register(name='DeepseekV2')
+class DeepseekV2Adapter(BaseAdapter):
+    """DeepSeek-V2/V3 MLA + MoE (reference llmc/models/deepseekv2.py /
+    deepseekv3.py)."""
+
+    name = 'DeepseekV2'
+
+    def __init__(self, cfg, params, tokenizer=None, hf_config=None):
+        super().__init__(cfg, params, tokenizer, hf_config)
+        from . import deepseek as DS
+        self._DS = DS
+        self._layout = DS.deepseek_layout(cfg)
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from . import deepseek as DS
+        from .hf_loader import load_hf_config, load_hf_tensors
+        hf = load_hf_config(path)
+        cfg = DS.DeepseekConfig.from_hf(hf)
+        flat = load_hf_tensors(path, dtype=dtype)
+        params = DS.params_from_hf(flat, cfg)
+        tok = None
+        try:
+            from transformers import AutoTokenizer
+            tok = AutoTokenizer.from_pretrained(path)
+        except Exception:
+            pass
+        return cls(cfg, params, tok, hf)
+
+    @classmethod
+    def from_config(cls, config):
+        m = config['model']
+        if m.get('path'):
+            return cls.from_pretrained(m['path'])
+        raise ValueError('DeepseekV2 requires model.path')
+
+    def get_layout(self):
+        return self._layout
+
+    def block_fn(self):
+        cfg, DS = self.cfg, self._DS
+
+        def fn(bp, x, kw, qmap=None, capture=False, kv_state=None,
+               kv_hook=None):
+            return DS.block_apply(bp, cfg, x, kw['cos'], kw['sin'],
+                                  kw.get('attn_bias'), qmap=qmap,
+                                  capture=capture)
+        return fn
+
+    def inspect_fns(self):
+        return self._DS.make_inspect_fns(self.cfg)
+
+    def embed_and_rope_p(self, params, input_ids, attention_mask=None):
+        cfg, DS = self.cfg, self._DS
+        x = params['embed_tokens']['w'][input_ids]
+        S = input_ids.shape[1]
+        if attention_mask is not None:
+            positions = jnp.clip(
+                jnp.cumsum(attention_mask, axis=-1) - 1, 0, None)
+        else:
+            positions = jnp.arange(S)[None, :]
+        cos, sin = DS.rope_freqs(cfg, positions)
+        kw = {'cos': cos, 'sin': sin}
+        if attention_mask is not None:
+            NEG = jnp.float32(-1e9)
+            bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0,
+                             NEG)
+            causal = jnp.where(jnp.arange(S)[:, None] >=
+                               jnp.arange(S)[None, :], 0.0, NEG)
+            kw['attn_bias'] = bias + causal[None, None]
+        return x, kw
+
+    def head_fn(self):
+        cfg = self.cfg
+
+        def fn(params, x):
+            h = rms_norm_local(x, params['norm']['w'], cfg.rms_norm_eps)
+            return jnp.dot(h, params['lm_head']['w'].T,
+                           preferred_element_type=F32)
+        return fn
+
+    def forward_logits(self, input_ids, qmap=None):
+        x, kw = self.embed_and_rope(input_ids)
+        bfn = self.block_fn()
+        for bp in self.blocks:
+            x, _, _ = bfn(bp, x, kw, qmap=qmap)
+        return self.head_fn()(self.params, x)
+
+
+@MODEL_REGISTRY.register(name='DeepseekV3')
+class DeepseekV3Adapter(DeepseekV2Adapter):
+    name = 'DeepseekV3'
+
+
+def rms_norm_local(x, w, eps):
+    from .base import rms_norm
+    return rms_norm(x, w, eps)
+
+
 @MODEL_REGISTRY.register(name='Qwen2Moe')
 class Qwen2MoeAdapter(MixtralAdapter):
     """NOTE round-1: maps to the Mixtral MoE graph (no shared expert

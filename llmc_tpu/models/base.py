@@ -201,6 +201,23 @@ def get_path(tree, path: str):
     return cur
 
 
+def has_path(tree, path: str) -> bool:
+    """True if the path exists (mixed-architecture blocks — e.g. the
+    dense first_k layers of DeepSeek MoE — lack some layout paths)."""
+    cur = tree
+    for part in path.split('.'):
+        if isinstance(cur, (list, tuple)):
+            i = int(part) if part.isdigit() else -1
+            if not (0 <= i < len(cur)):
+                return False
+            cur = cur[i]
+        elif isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+        else:
+            return False
+    return True
+
+
 def set_path(tree, path: str, value):
     """Functionally replace the subtree at ``path`` (returns a new tree;
     shares everything else)."""

@@ -269,7 +269,11 @@ def dequant_matmul(x, packed, scales, zeros, meta: QMeta,
         getattr(dev0, 'device_kind', '')).lower()
     gs = meta.group_size if meta.group_size > 0 else meta.in_features
     ng = max(meta.in_features // gs, 1)
-    pallas_ok = (meta.bits == 8) or (ng % 2 == 0 or ng == 1)
+    # Mosaic block rule: the packed tile's minor dim (gs for paired
+    # groups, K/2 for a single group) must be a multiple of 128
+    minor = gs if ng > 1 else meta.in_features // 2
+    pallas_ok = (ng % 2 == 0 or ng == 1) and minor % 128 == 0 \
+        if meta.bits == 4 else gs % 128 == 0
     use_pallas = (not force_xla and on_tpu and meta.bits in (4, 8)
                   and pallas_ok)
     if use_pallas:
