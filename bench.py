@@ -21,7 +21,8 @@ import numpy as np
 
 from llmc_tpu.models import LlamaConfig
 from llmc_tpu.quant import QuantSpec
-from llmc_tpu.serve.decode import forward_cached, init_cache
+from llmc_tpu.serve.decode import (forward_cached, init_cache,
+                                   stack_block_params)
 from llmc_tpu.serve.kvcache import KVCachePolicy
 from llmc_tpu.serve.packed import random_packed_llama
 
@@ -57,20 +58,27 @@ def main():
     model, qmap = random_packed_llama(cfg, wspec)
     policy = KVCachePolicy(method='fp')
     params = model.params
+    stacked = stack_block_params(params['blocks'])
+    # free the unstacked copies: keep only the stacked weights on device
+    params = dict(params, blocks=[])
+    model.params['blocks'] = []
+    import gc
+    gc.collect()
     cache = init_cache(model, B, max_len, policy)
 
     @jax.jit
-    def prefill(params, ids, cache):
+    def prefill(params, stacked, ids, cache):
         logits, cache = forward_cached(params, cfg, ids, cache, policy,
-                                       qmap)
+                                       qmap, stacked_blocks=stacked)
         return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
 
     @jax.jit
-    def decode_n(params, tok, cache):
+    def decode_n(params, stacked, tok, cache):
         def step(carry, _):
             tok, cache = carry
             logits, cache = forward_cached(params, cfg, tok[:, None],
-                                           cache, policy, qmap)
+                                           cache, policy, qmap,
+                                           stacked_blocks=stacked)
             nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             return (nxt, cache), None
         (tok, cache), _ = jax.lax.scan(step, (tok, cache), None,
@@ -80,20 +88,23 @@ def main():
     ids = jnp.asarray(np.random.RandomState(0).randint(
         0, cfg.vocab_size, size=(B, prefill_len)), jnp.int32)
 
-    tok, cache1 = prefill(params, ids, cache)
-    jax.block_until_ready(tok)
+    # NOTE: device->host transfer (np.asarray) is the hard sync; over the
+    # axon tunnel block_until_ready alone can return before execution.
+    tok, cache1 = prefill(params, stacked, ids, cache)
+    np.asarray(tok)
     t0 = time.time()
-    tok2, cache2 = decode_n(params, tok, cache1)
-    jax.block_until_ready(tok2)
+    tok2, cache2 = decode_n(params, stacked, tok, cache1)
+    np.asarray(tok2)
     _compile_and_first = time.time() - t0
 
-    # timed run (compiled)
-    tok, cache1 = prefill(params, ids, cache)
-    jax.block_until_ready(tok)
-    t0 = time.time()
-    tok2, _ = decode_n(params, tok, cache1)
-    jax.block_until_ready(tok2)
-    dt = time.time() - t0
+    # timed runs (compiled): median of 3
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        tok2, _ = decode_n(params, stacked, tok, cache1)
+        np.asarray(tok2)
+        times.append(time.time() - t0)
+    dt = sorted(times)[1]
     tokens_per_s = B * steps / dt
 
     # weight-streaming roofline: bytes touched per decode step

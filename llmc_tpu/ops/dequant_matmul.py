@@ -121,43 +121,46 @@ def _dequant_matmul_xla(x, packed, scales, zeros, meta: QMeta):
 # --------------------------------------------------------------------------
 
 def _kernel_w4(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, n_k: int,
-               sym: bool, single_group: bool):
-    """Grid (i, j, k): one group-pair per k step.
-    x [TM, 2gs] bf16, w [TN, gs] packed int8, s/z [TN, 2] f32."""
+               sym: bool, single_group: bool, pairs: int, gs: int):
+    """Grid (i, j, k): ``pairs`` group-pairs per k step.
+    x [TM, pairs*2gs] bf16, w [TN, pairs*gs] packed int8,
+    s/z [1, TN, 2*pairs] f32 (lead dim indexed by k)."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    u = w_ref[:].astype(jnp.int32) & 0xFF
-    lo = (u & 0xF)
-    hi = (u >> 4)
-    if sym:
-        lo = lo - jnp.where(lo >= 8, 16, 0)
-        hi = hi - jnp.where(hi >= 8, 16, 0)
-    lo = lo.astype(F32)
-    hi = hi.astype(F32)
-    # scales/zeros arrive as [ng/2, N, 2] so each k step's block is a
-    # static [1, TN, 2] slice (Mosaic rejects sub-128 dynamic lane slices)
-    s0 = s_ref[0, :, 0:1].astype(F32)
-    s1 = s0 if single_group else s_ref[0, :, 1:2].astype(F32)
-    if not sym:
-        z0 = z_ref[0, :, 0:1].astype(F32)
-        z1 = z0 if single_group else z_ref[0, :, 1:2].astype(F32)
-        lo = lo - z0
-        hi = hi - z1
-    w0 = (lo * s0).astype(jnp.bfloat16)
-    w1 = (hi * s1).astype(jnp.bfloat16)
-    gs = w0.shape[1]
     x = x_ref[:].astype(jnp.bfloat16)
-    x0 = x[:, :gs]
-    x1 = x[:, gs:]
-    acc_ref[:] += (
-        jax.lax.dot_general(x0, w0, (((1,), (1,)), ((), ())),
-                            preferred_element_type=F32)
-        + jax.lax.dot_general(x1, w1, (((1,), (1,)), ((), ())),
-                              preferred_element_type=F32))
+    acc = acc_ref[:]
+    for p in range(pairs):  # static unroll: all slices 128-aligned
+        u = w_ref[:, p * gs:(p + 1) * gs].astype(jnp.int32) & 0xFF
+        lo = (u & 0xF)
+        hi = (u >> 4)
+        if sym:
+            lo = lo - jnp.where(lo >= 8, 16, 0)
+            hi = hi - jnp.where(hi >= 8, 16, 0)
+        lo = lo.astype(F32)
+        hi = hi.astype(F32)
+        s0 = s_ref[0, :, 2 * p:2 * p + 1].astype(F32)
+        s1 = s0 if single_group else \
+            s_ref[0, :, 2 * p + 1:2 * p + 2].astype(F32)
+        if not sym:
+            z0 = z_ref[0, :, 2 * p:2 * p + 1].astype(F32)
+            z1 = z0 if single_group else \
+                z_ref[0, :, 2 * p + 1:2 * p + 2].astype(F32)
+            lo = lo - z0
+            hi = hi - z1
+        w0 = (lo * s0).astype(jnp.bfloat16)
+        w1 = (hi * s1).astype(jnp.bfloat16)
+        x0 = x[:, 2 * p * gs:(2 * p + 1) * gs]
+        x1 = x[:, (2 * p + 1) * gs:(2 * p + 2) * gs]
+        acc = (acc
+               + jax.lax.dot_general(x0, w0, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=F32)
+               + jax.lax.dot_general(x1, w1, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=F32))
+    acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
     def _():
@@ -211,17 +214,28 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
     sym = meta.symmetric
     z = zeros if zeros is not None else jnp.zeros_like(scales)
     if meta.bits == 4:
-        # one group-pair (or one whole single-group layer) per k step
-        pair = 2 * gs if ng > 1 else gs
-        n_k = K // pair
-        spg = max(ng // n_k, 1)  # scale cols per k step (2, or 1 single)
+        # several group-pairs per k step: amortize grid overheads and
+        # give the DMA pipeline large contiguous weight tiles
+        if ng > 1:
+            pairs = 1
+            for cand in (8, 4, 2, 1):
+                if (ng // 2) % cand == 0:
+                    pairs = cand
+                    break
+            span = pairs * 2 * gs
+            gsl = gs
+        else:
+            pairs, span, gsl = 1, gs, gs // 2
+        n_k = K // span
+        spg = max(ng // n_k, 1)
         s3 = scales.reshape(N, n_k, spg).transpose(1, 0, 2)
         z3 = z.reshape(N, n_k, spg).transpose(1, 0, 2)
         kernel = functools.partial(_kernel_w4, n_k=n_k, sym=sym,
-                                   single_group=(ng == 1))
+                                   single_group=(ng == 1), pairs=pairs,
+                                   gs=gsl)
         in_specs = [
-            pl.BlockSpec((tm, pair), lambda i, j, k: (i, k)),
-            pl.BlockSpec((tn, pair // 2), lambda i, j, k: (j, k)),
+            pl.BlockSpec((tm, span), lambda i, j, k: (i, k)),
+            pl.BlockSpec((tn, span // 2), lambda i, j, k: (j, k)),
             pl.BlockSpec((1, tn, spg), lambda i, j, k: (k, j, 0)),
             pl.BlockSpec((1, tn, spg), lambda i, j, k: (k, j, 0)),
         ]
