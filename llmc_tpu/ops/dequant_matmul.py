@@ -58,7 +58,10 @@ def pack_weight(codes: jax.Array, scales: jax.Array,
     if meta.bits == 4:
         assert (K // gs) % 2 == 0 or K == gs, \
             f'group-pair packing needs an even group count ({K}/{gs})'
-        u = (codes.astype(jnp.int32) & 0xF).astype(jnp.uint8)
+        c = codes.astype(jnp.int32)
+        if meta.symmetric:
+            c = c + 8  # excess-8: store unsigned, correct on output
+        u = (c & 0xF).astype(jnp.uint8)
         if K == gs:  # single group: pair = halves of the group
             lo, hi = u[:, :K // 2], u[:, K // 2:]
         else:
@@ -85,8 +88,8 @@ def unpack_weight_xla(packed: jax.Array, meta: QMeta) -> jax.Array:
     lo = (u & 0xF)
     hi = (u >> 4)
     if meta.symmetric:
-        lo = lo - jnp.where(lo >= 8, 16, 0)
-        hi = hi - jnp.where(hi >= 8, 16, 0)
+        lo = lo - 8
+        hi = hi - 8
     if K == gs:
         codes = jnp.concatenate([lo, hi], axis=-1)
     else:
@@ -120,11 +123,16 @@ def _dequant_matmul_xla(x, packed, scales, zeros, meta: QMeta):
 # Pallas TPU kernel
 # --------------------------------------------------------------------------
 
-def _kernel_w4(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, n_k: int,
-               sym: bool, single_group: bool, pairs: int, gs: int):
+def _kernel_w4(x_ref, w_ref, s_ref, zs_ref, o_ref, acc_ref, *, n_k: int,
+               single_group: bool, pairs: int, gs: int):
     """Grid (i, j, k): ``pairs`` group-pairs per k step.
-    x [TM, pairs*2gs] bf16, w [TN, pairs*gs] packed int8,
-    s/z [1, TN, 2*pairs] f32 (lead dim indexed by k)."""
+    x [TM, pairs*2gs] bf16, w [TN, pairs*gs] packed int8 (UNSIGNED
+    nibbles — symmetric codes stored excess-8), s/zs [1, 2*pairs, TN]
+    f32 pre-transposed; zs = s * z_eff so the zero/offset correction is
+    applied to the [TM, TN] partials:
+        y = Σ_p s_p ⊙ (x_p @ u_p^T) − zs_p ⊙ Σ_k x_p[k]
+    This keeps the per-weight path to unpack+cast (≈3 VPU ops/elem); the
+    scale math runs on the MXU outputs instead of every weight."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -135,31 +143,22 @@ def _kernel_w4(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, n_k: int,
     acc = acc_ref[:]
     for p in range(pairs):  # static unroll: all slices 128-aligned
         u = w_ref[:, p * gs:(p + 1) * gs].astype(jnp.int32) & 0xFF
-        lo = (u & 0xF)
-        hi = (u >> 4)
-        if sym:
-            lo = lo - jnp.where(lo >= 8, 16, 0)
-            hi = hi - jnp.where(hi >= 8, 16, 0)
-        lo = lo.astype(F32)
-        hi = hi.astype(F32)
-        s0 = s_ref[0, :, 2 * p:2 * p + 1].astype(F32)
-        s1 = s0 if single_group else \
-            s_ref[0, :, 2 * p + 1:2 * p + 2].astype(F32)
-        if not sym:
-            z0 = z_ref[0, :, 2 * p:2 * p + 1].astype(F32)
-            z1 = z0 if single_group else \
-                z_ref[0, :, 2 * p + 1:2 * p + 2].astype(F32)
-            lo = lo - z0
-            hi = hi - z1
-        w0 = (lo * s0).astype(jnp.bfloat16)
-        w1 = (hi * s1).astype(jnp.bfloat16)
+        w0 = (u & 0xF).astype(jnp.bfloat16)
+        w1 = (u >> 4).astype(jnp.bfloat16)
+        i0, i1 = 2 * p, (2 * p + 1 if not single_group else 2 * p)
+        s0 = s_ref[0, i0:i0 + 1, :].astype(F32)        # [1, TN]
+        s1 = s_ref[0, i1:i1 + 1, :].astype(F32)
+        zs0 = zs_ref[0, i0:i0 + 1, :].astype(F32)
+        zs1 = zs_ref[0, i1:i1 + 1, :].astype(F32)
         x0 = x[:, 2 * p * gs:(2 * p + 1) * gs]
         x1 = x[:, (2 * p + 1) * gs:(2 * p + 2) * gs]
-        acc = (acc
-               + jax.lax.dot_general(x0, w0, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=F32)
-               + jax.lax.dot_general(x1, w1, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=F32))
+        part0 = jax.lax.dot_general(x0, w0, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=F32)
+        part1 = jax.lax.dot_general(x1, w1, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=F32)
+        xs0 = jnp.sum(x0.astype(F32), axis=1, keepdims=True)  # [TM, 1]
+        xs1 = jnp.sum(x1.astype(F32), axis=1, keepdims=True)
+        acc = acc + part0 * s0 + part1 * s1 - xs0 * zs0 - xs1 * zs1
     acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
@@ -228,16 +227,18 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
             pairs, span, gsl = 1, gs, gs // 2
         n_k = K // span
         spg = max(ng // n_k, 1)
-        s3 = scales.reshape(N, n_k, spg).transpose(1, 0, 2)
-        z3 = z.reshape(N, n_k, spg).transpose(1, 0, 2)
-        kernel = functools.partial(_kernel_w4, n_k=n_k, sym=sym,
+        # pre-transpose to [n_k, spg, N]; fold z_eff into zs = s*z_eff
+        z_eff = z + 8.0 if sym else z  # excess-8 storage offset
+        s3 = scales.reshape(N, n_k, spg).transpose(1, 2, 0)
+        z3 = (scales * z_eff).reshape(N, n_k, spg).transpose(1, 2, 0)
+        kernel = functools.partial(_kernel_w4, n_k=n_k,
                                    single_group=(ng == 1), pairs=pairs,
                                    gs=gsl)
         in_specs = [
             pl.BlockSpec((tm, span), lambda i, j, k: (i, k)),
             pl.BlockSpec((tn, span // 2), lambda i, j, k: (j, k)),
-            pl.BlockSpec((1, tn, spg), lambda i, j, k: (k, j, 0)),
-            pl.BlockSpec((1, tn, spg), lambda i, j, k: (k, j, 0)),
+            pl.BlockSpec((1, spg, tn), lambda i, j, k: (k, 0, j)),
+            pl.BlockSpec((1, spg, tn), lambda i, j, k: (k, 0, j)),
         ]
     else:
         n_k = ng
