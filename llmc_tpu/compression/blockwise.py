@@ -203,7 +203,28 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
         if self.layer_is_ignored(block_idx, path):
             return None
         return LinearQcfg(w_spec=self.wspec, a_spec=self.aspec,
-                          a_static=False)
+                          a_static=self.act_static)
+
+    def install_static_act_qparams(self):
+        """Write the calibrated per-layer static act qparams into each
+        linear's params (register_act_qparams analog, base:566-588);
+        linear_apply reads them when qcfg.a_static."""
+        if not self.static_aqparams:
+            return
+        for b in range(self.model.n_blocks):
+            blk = self.model.blocks[b]
+            for path in self.layout.linears:
+                if not has_path(blk, path):
+                    continue
+                key = self.layout.capture_key(path)
+                qp = self.static_aqparams.get((b, key))
+                if qp is None:
+                    continue
+                lin = dict(get_path(blk, path),
+                           a_scales=jnp.asarray(qp.scales, F32),
+                           a_zeros=jnp.asarray(qp.zeros, F32))
+                blk = set_path(blk, path, lin)
+            self.model.set_block(b, blk)
 
     def fake_quant_qmap(self, block_idx: int) -> QMap:
         return QMap({p: self.fake_quant_qcfg(block_idx, p)
@@ -328,6 +349,8 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
         if quant_format in ('origin_float', 'transformed'):
             qmap = QMap({})
         elif quant_format == 'fake_quant':
+            if self.act_static:
+                self.install_static_act_qparams()
             entries = {}
             for b in range(self.model.n_blocks):
                 for p in self.layout.linears:

@@ -143,8 +143,13 @@ def _kernel_w4(x_ref, w_ref, s_ref, zs_ref, o_ref, acc_ref, *, n_k: int,
     acc = acc_ref[:]
     for p in range(pairs):  # static unroll: all slices 128-aligned
         u = w_ref[:, p * gs:(p + 1) * gs].astype(jnp.int32) & 0xFF
-        w0 = (u & 0xF).astype(jnp.bfloat16)
-        w1 = (u >> 4).astype(jnp.bfloat16)
+        # bf16 bit-trick: 0x4380 | m is 256 + 2m for m in [0,16) — turn
+        # nibbles into bf16 with an OR + bitcast instead of int->float
+        # casts; the affine (256, x2) factors fold into s/zs below
+        b0 = ((u & 0xF) | 0x4380).astype(jnp.uint16)
+        b1 = ((u >> 4) | 0x4380).astype(jnp.uint16)
+        w0 = pltpu.bitcast(b0, jnp.bfloat16)
+        w1 = pltpu.bitcast(b1, jnp.bfloat16)
         i0, i1 = 2 * p, (2 * p + 1 if not single_group else 2 * p)
         s0 = s_ref[0, i0:i0 + 1, :].astype(F32)        # [1, TN]
         s1 = s_ref[0, i1:i1 + 1, :].astype(F32)
@@ -158,7 +163,12 @@ def _kernel_w4(x_ref, w_ref, s_ref, zs_ref, o_ref, acc_ref, *, n_k: int,
                                     preferred_element_type=F32)
         xs0 = jnp.sum(x0.astype(F32), axis=1, keepdims=True)  # [TM, 1]
         xs1 = jnp.sum(x1.astype(F32), axis=1, keepdims=True)
-        acc = acc + part0 * s0 + part1 * s1 - xs0 * zs0 - xs1 * zs1
+        # partN = 256*xsN + 2*(x @ u^T)  =>  x @ u^T = (partN-256*xsN)/2
+        half = jnp.float32(0.5)
+        acc = (acc
+               + (part0 * half - 128.0 * xs0) * s0
+               + (part1 * half - 128.0 * xs1) * s1
+               - xs0 * zs0 - xs1 * zs1)
     acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
@@ -193,6 +203,39 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+@functools.lru_cache(maxsize=None)
+def _choose_w4_tiles(N: int, tm: int, gs: int, ng: int):
+    """Adaptive (tn, pairs): per-grid-cell overhead (~2us) dominates with
+    small tiles, so minimize grid cells subject to the Mosaic scoped-VMEM
+    stack limit (16MB).  The model counts double-buffered in/out blocks,
+    the f32 accumulator scratch, and the two live [TM,TN] f32 partials the
+    w4 kernel materializes per pair step."""
+    npairs = ng // 2
+    tn_opts = [t for t in range(N, 0, -128) if N % t == 0]
+    best = None
+    # Mosaic's stack measure runs ~15% above this model (unmodeled nibble
+    # decode temporaries); 12.5MiB keeps the real figure under the 16MiB
+    # scoped-vmem limit (observed: model 14.6M -> actual 16.5M OOM)
+    budget = 25 << 19
+    for t in tn_opts:
+        for p in [d for d in range(npairs, 0, -1) if npairs % d == 0]:
+            wtile = t * p * gs                # int8
+            xtile = tm * 2 * p * gs * 2       # bf16
+            stile = 2 * (2 * p) * t * 4       # s3 + z3 blocks
+            otile = tm * t * 2                # bf16 out
+            parts = 3 * tm * t * 4            # acc + part0/1 f32
+            if 2 * (wtile + xtile + stile) + 2 * otile + parts > budget:
+                continue
+            cells = (N // t) * (npairs // p)
+            score = (cells, -wtile)
+            if best is None or score < best[0]:
+                best = (score, t, p)
+            break  # largest fitting p for this tn
+    if best is None:
+        return 128, 1
+    return best[1], best[2]
+
+
 @functools.partial(jax.jit, static_argnames=('meta', 'tm', 'tn',
                                              'interpret'))
 def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
@@ -213,14 +256,8 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
     sym = meta.symmetric
     z = zeros if zeros is not None else jnp.zeros_like(scales)
     if meta.bits == 4:
-        # several group-pairs per k step: amortize grid overheads and
-        # give the DMA pipeline large contiguous weight tiles
         if ng > 1:
-            pairs = 1
-            for cand in (8, 4, 2, 1):
-                if (ng // 2) % cand == 0:
-                    pairs = cand
-                    break
+            tn, pairs = _choose_w4_tiles(N, tm, gs, ng)
             span = pairs * 2 * gs
             gsl = gs
         else:
