@@ -654,10 +654,425 @@ class Phi3Adapter(LlamaAdapter):
 
 @MODEL_REGISTRY.register(name='Gemma2')
 class Gemma2Adapter(LlamaAdapter):
-    """NOTE round-1: maps to the Llama graph (no pre/post-ffn extra norms
-    yet); reference llmc/models/gemma2.py."""
+    """Gemma2 (reference llmc/models/gemma2.py): sandwich norms
+    (post-attn/pre-ffn/post-ffn), GeGLU-tanh, attn+final logit
+    softcapping, sqrt(D)-scaled tied embeddings, sliding window on even
+    layers.  HF stores RMSNorm weights in the (1+w) convention; we fold
+    the +1 at load so ``rms_norm``/``scale_ln_fcs`` apply unchanged."""
 
     name = 'Gemma2'
+
+    _GEMMA_DEFAULTS = dict(
+        act_fn='gelu_tanh', sandwich_norms=True, embed_scale=True,
+        tie_word_embeddings=True, attn_logit_softcap=50.0,
+        final_logit_softcap=30.0, query_pre_attn_scalar=256.0,
+        rope_theta=10000.0, rms_norm_eps=1e-6)
+
+    @classmethod
+    def from_config(cls, config):
+        m = config['model']
+        if not m.get('path') and 'arch' in m:
+            for k, v in cls._GEMMA_DEFAULTS.items():
+                m['arch'].setdefault(k, v)
+        return super().from_config(config)
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from .hf_loader import (llama_params_from_hf, load_hf_config,
+                                load_hf_tensors)
+        hf = load_hf_config(path)
+        cfg = L.LlamaConfig.from_hf(hf)
+        cfg = dataclasses.replace(
+            cfg,
+            act_fn='gelu_tanh', sandwich_norms=True, embed_scale=True,
+            tie_word_embeddings=True,
+            attn_logit_softcap=hf.get('attn_logit_softcapping', 50.0),
+            final_logit_softcap=hf.get('final_logit_softcapping', 30.0),
+            query_pre_attn_scalar=hf.get('query_pre_attn_scalar', 256.0),
+            sliding_window=hf.get('sliding_window'),
+            head_dim=hf.get('head_dim', 256))
+        flat = load_hf_tensors(path, dtype=dtype)
+        for name in list(flat):
+            # Gemma applies norms as x * (1 + w): bake the +1 in
+            if 'norm' in name and name.endswith('.weight'):
+                flat[name] = flat[name] + 1.0
+        params = llama_params_from_hf(flat, cfg.num_hidden_layers, True)
+        tok = None
+        try:
+            from transformers import AutoTokenizer
+            tok = AutoTokenizer.from_pretrained(path)
+        except Exception:
+            pass
+        return cls(cfg, params, tok, hf)
+
+
+# --------------------------------------------------------------------------
+# Generalized-graph families: LayerNorm / partial-rope / parallel-residual /
+# non-gated-MLP / alibi variants, all on the one functional block graph
+# (reference wrappers: llmc/models/{stablelm,falcon,phi,starcoder,bloom,
+# internlm2,minicpm}.py).  Each adapter renames its HF checkpoint into the
+# canonical `model.layers.i.{self_attn,mlp,*norm}` namespace, splitting any
+# fused projections, then reuses the Llama loader.
+# --------------------------------------------------------------------------
+
+def _finish_from_flat(cls, cfg, flat, path, hf):
+    from .hf_loader import llama_params_from_hf
+    params = llama_params_from_hf(flat, cfg.num_hidden_layers,
+                                  cfg.tie_word_embeddings)
+    tok = None
+    try:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(path)
+    except Exception:
+        pass
+    return cls(cfg, params, tok, hf)
+
+
+@MODEL_REGISTRY.register(name='StableLm')
+class StableLmAdapter(LlamaAdapter):
+    """StableLM(-2): Llama naming but LayerNorm (biased), partial rotary,
+    biased qkv.  Reference: llmc/models/stablelm.py."""
+
+    name = 'StableLm'
+
+    @classmethod
+    def from_config(cls, config):
+        m = config['model']
+        if not m.get('path') and 'arch' in m:
+            m['arch'].setdefault('norm_type', 'ln')
+            m['arch'].setdefault('rotary_pct', 0.25)
+        return super().from_config(config)
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from .hf_loader import load_hf_config, load_hf_tensors
+        hf = load_hf_config(path)
+        cfg = dataclasses.replace(
+            L.LlamaConfig.from_hf(hf),
+            norm_type='ln',
+            rms_norm_eps=hf.get('layer_norm_eps', 1e-5),
+            rotary_pct=hf.get('partial_rotary_factor', 0.25))
+        flat = load_hf_tensors(path, dtype=dtype)
+        return _finish_from_flat(cls, cfg, flat, path, hf)
+
+
+@MODEL_REGISTRY.register(name='Falcon')
+class FalconAdapter(LlamaAdapter):
+    """Falcon: fused query_key_value (MQA / grouped layouts), parallel
+    attn+mlp residual, LayerNorm, non-gated GELU MLP, optional alibi
+    (falcon-rw).  Reference: llmc/models/falcon.py."""
+
+    name = 'Falcon'
+
+    @classmethod
+    def from_config(cls, config):
+        m = config['model']
+        if not m.get('path') and 'arch' in m:
+            for k, v in dict(norm_type='ln', parallel_residual=True,
+                             shared_ln=True, gated_mlp=False,
+                             act_fn='gelu', num_key_value_heads=1,
+                             tie_word_embeddings=True).items():
+                m['arch'].setdefault(k, v)
+        return super().from_config(config)
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from .hf_loader import load_hf_config, load_hf_tensors
+        hf = load_hf_config(path)
+        H = hf['num_attention_heads']
+        D = hf['hidden_size']
+        hd = D // H
+        new_arch = hf.get('new_decoder_architecture', False)
+        multi_query = hf.get('multi_query', True)
+        parallel = hf.get('parallel_attn', True)
+        alibi = hf.get('alibi', False)
+        KVH = (hf.get('num_kv_heads') or H) if new_arch else (
+            1 if multi_query else H)
+        cfg = L.LlamaConfig(
+            vocab_size=hf['vocab_size'], hidden_size=D,
+            intermediate_size=hf.get('ffn_hidden_size', 4 * D),
+            num_hidden_layers=hf['num_hidden_layers'],
+            num_attention_heads=H, num_key_value_heads=KVH, head_dim=hd,
+            rms_norm_eps=hf.get('layer_norm_epsilon', 1e-5),
+            rope_theta=hf.get('rope_theta', 10000.0),
+            max_position_embeddings=hf.get('max_position_embeddings', 2048),
+            tie_word_embeddings=hf.get('tie_word_embeddings', True),
+            norm_type='ln', parallel_residual=parallel,
+            shared_ln=parallel and not new_arch, gated_mlp=False,
+            act_fn='gelu', use_alibi=alibi, alibi_scaled=True,
+            rotary_pct=0.0 if alibi else 1.0)
+        flat = load_hf_tensors(path, dtype=dtype)
+        out = {}
+        for name, t in flat.items():
+            n = name.replace('transformer.word_embeddings',
+                             'model.embed_tokens')
+            n = n.replace('transformer.ln_f', 'model.norm')
+            n = n.replace('transformer.h.', 'model.layers.')
+            n = n.replace('.self_attention.dense', '.self_attn.o_proj')
+            n = n.replace('.mlp.dense_h_to_4h', '.mlp.up_proj')
+            n = n.replace('.mlp.dense_4h_to_h', '.mlp.down_proj')
+            # 40B two-norm layout
+            n = n.replace('.ln_attn', '.input_layernorm')
+            n = n.replace('.ln_mlp', '.post_attention_layernorm')
+            out[n] = t
+        for i in range(cfg.num_hidden_layers):
+            b = f'model.layers.{i}'
+            for part in ('weight', 'bias'):
+                key = f'{b}.self_attention.query_key_value.{part}'
+                if key not in out:
+                    continue
+                qkv = out.pop(key)
+                tail = (D,) if part == 'weight' else ()
+                if new_arch:  # [KVH, H/KVH + 2, hd, D] grouped
+                    g = qkv.reshape((KVH, H // KVH + 2, hd) + tail)
+                    q = g[:, :-2].reshape((H * hd,) + tail)
+                    k = g[:, -2].reshape((KVH * hd,) + tail)
+                    v = g[:, -1].reshape((KVH * hd,) + tail)
+                elif multi_query:  # [H*hd | hd | hd]
+                    q, k, v = (qkv[:H * hd], qkv[H * hd:H * hd + hd],
+                               qkv[H * hd + hd:])
+                else:  # per-head interleaved [H, 3, hd, D]
+                    g = qkv.reshape((H, 3, hd) + tail)
+                    q, k, v = (g[:, j].reshape((H * hd,) + tail)
+                               for j in range(3))
+                out[f'{b}.self_attn.q_proj.{part}'] = q
+                out[f'{b}.self_attn.k_proj.{part}'] = k
+                out[f'{b}.self_attn.v_proj.{part}'] = v
+        return _finish_from_flat(cls, cfg, out, path, hf)
+
+
+@MODEL_REGISTRY.register(name='Phi')
+class PhiAdapter(LlamaAdapter):
+    """Phi-1.5/2: parallel attn+mlp off a single LayerNorm, partial
+    rotary, non-gated gelu_new MLP (fc1/fc2), biased head.  Reference:
+    llmc/models/phi.py."""
+
+    name = 'Phi'
+
+    @classmethod
+    def from_config(cls, config):
+        m = config['model']
+        if not m.get('path') and 'arch' in m:
+            for k, v in dict(norm_type='ln', parallel_residual=True,
+                             shared_ln=True, gated_mlp=False,
+                             act_fn='gelu_tanh', rotary_pct=0.5).items():
+                m['arch'].setdefault(k, v)
+        return super().from_config(config)
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from .hf_loader import load_hf_config, load_hf_tensors
+        hf = load_hf_config(path)
+        cfg = dataclasses.replace(
+            L.LlamaConfig.from_hf(hf),
+            norm_type='ln', parallel_residual=True, shared_ln=True,
+            gated_mlp=False, act_fn='gelu_tanh',
+            rms_norm_eps=hf.get('layer_norm_eps', 1e-5),
+            rotary_pct=hf.get('partial_rotary_factor', 0.5))
+        flat = load_hf_tensors(path, dtype=dtype)
+        out = {}
+        for name, t in flat.items():
+            n = name.replace('.self_attn.dense', '.self_attn.o_proj')
+            n = n.replace('.mlp.fc1', '.mlp.up_proj')
+            n = n.replace('.mlp.fc2', '.mlp.down_proj')
+            n = n.replace('model.final_layernorm', 'model.norm')
+            out[n] = t
+        return _finish_from_flat(cls, cfg, out, path, hf)
+
+
+@MODEL_REGISTRY.register(name='Starcoder')
+class StarcoderAdapter(LlamaAdapter):
+    """Starcoder (gpt_bigcode): MQA with fused c_attn, learned absolute
+    positions (no rope), LayerNorm, non-gated gelu-tanh MLP, tied head.
+    Reference: llmc/models/starcoder.py."""
+
+    name = 'Starcoder'
+
+    @classmethod
+    def from_config(cls, config):
+        m = config['model']
+        if not m.get('path') and 'arch' in m:
+            for k, v in dict(norm_type='ln', gated_mlp=False,
+                             act_fn='gelu_tanh', rotary_pct=0.0,
+                             learned_pos=True, num_key_value_heads=1,
+                             tie_word_embeddings=True).items():
+                m['arch'].setdefault(k, v)
+        return super().from_config(config)
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from .hf_loader import load_hf_config, load_hf_tensors
+        hf = load_hf_config(path)
+        H = hf.get('n_head', hf.get('num_attention_heads'))
+        D = hf.get('n_embd', hf.get('hidden_size'))
+        hd = D // H
+        KVH = 1 if hf.get('multi_query', True) else H
+        cfg = L.LlamaConfig(
+            vocab_size=hf['vocab_size'], hidden_size=D,
+            intermediate_size=hf.get('n_inner') or 4 * D,
+            num_hidden_layers=hf.get('n_layer',
+                                     hf.get('num_hidden_layers')),
+            num_attention_heads=H, num_key_value_heads=KVH, head_dim=hd,
+            rms_norm_eps=hf.get('layer_norm_epsilon', 1e-5),
+            max_position_embeddings=hf.get('n_positions', 8192),
+            tie_word_embeddings=True, norm_type='ln', gated_mlp=False,
+            act_fn='gelu_tanh', rotary_pct=0.0, learned_pos=True)
+        flat = load_hf_tensors(path, dtype=dtype)
+        out = {}
+        for name, t in flat.items():
+            n = name.replace('transformer.wte', 'model.embed_tokens')
+            n = n.replace('transformer.wpe', 'model.embed_positions')
+            n = n.replace('transformer.ln_f', 'model.norm')
+            n = n.replace('transformer.h.', 'model.layers.')
+            n = n.replace('.ln_1', '.input_layernorm')
+            n = n.replace('.ln_2', '.post_attention_layernorm')
+            n = n.replace('.attn.c_proj', '.self_attn.o_proj')
+            n = n.replace('.mlp.c_fc', '.mlp.up_proj')
+            n = n.replace('.mlp.c_proj', '.mlp.down_proj')
+            out[n] = t
+        for i in range(cfg.num_hidden_layers):
+            b = f'model.layers.{i}'
+            for part in ('weight', 'bias'):
+                key = f'{b}.attn.c_attn.{part}'
+                if key not in out:
+                    continue
+                qkv = out.pop(key)
+                q = qkv[:H * hd]
+                k = qkv[H * hd:H * hd + KVH * hd]
+                v = qkv[H * hd + KVH * hd:]
+                out[f'{b}.self_attn.q_proj.{part}'] = q
+                out[f'{b}.self_attn.k_proj.{part}'] = k
+                out[f'{b}.self_attn.v_proj.{part}'] = v
+        return _finish_from_flat(cls, cfg, out, path, hf)
+
+
+@MODEL_REGISTRY.register(name='Bloom')
+class BloomAdapter(LlamaAdapter):
+    """Bloom: ALiBi (no rope), LayerNorm incl. an embedding LN, per-head
+    interleaved fused qkv, non-gated gelu-tanh MLP, tied head.
+    Reference: llmc/models/bloom.py."""
+
+    name = 'Bloom'
+
+    @classmethod
+    def from_config(cls, config):
+        m = config['model']
+        if not m.get('path') and 'arch' in m:
+            for k, v in dict(norm_type='ln', gated_mlp=False,
+                             act_fn='gelu_tanh', rotary_pct=0.0,
+                             use_alibi=True,
+                             tie_word_embeddings=True).items():
+                m['arch'].setdefault(k, v)
+        return super().from_config(config)
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from .hf_loader import load_hf_config, load_hf_tensors
+        hf = load_hf_config(path)
+        H = hf.get('n_head', hf.get('num_attention_heads'))
+        D = hf['hidden_size']
+        hd = D // H
+        nl = hf.get('n_layer', hf.get('num_hidden_layers'))
+        cfg = L.LlamaConfig(
+            vocab_size=hf['vocab_size'], hidden_size=D,
+            intermediate_size=4 * D, num_hidden_layers=nl,
+            num_attention_heads=H, num_key_value_heads=H, head_dim=hd,
+            rms_norm_eps=hf.get('layer_norm_epsilon', 1e-5),
+            tie_word_embeddings=True, norm_type='ln', gated_mlp=False,
+            act_fn='gelu_tanh', rotary_pct=0.0, use_alibi=True)
+        flat = load_hf_tensors(path, dtype=dtype)
+        out = {}
+        for name, t in flat.items():
+            n = name.replace('transformer.word_embeddings_layernorm',
+                          'model.embed_layernorm')
+            n = n.replace('transformer.word_embeddings',
+                          'model.embed_tokens')
+            n = n.replace('transformer.ln_f', 'model.norm')
+            n = n.replace('transformer.h.', 'model.layers.')
+            n = n.replace('.self_attention.dense', '.self_attn.o_proj')
+            n = n.replace('.mlp.dense_h_to_4h', '.mlp.up_proj')
+            n = n.replace('.mlp.dense_4h_to_h', '.mlp.down_proj')
+            out[n] = t
+        for i in range(nl):
+            b = f'model.layers.{i}'
+            for part, width in (('weight', D), ('bias', None)):
+                key = f'{b}.self_attention.query_key_value.{part}'
+                if key not in out:
+                    continue
+                qkv = out.pop(key)
+                shape = ((H, 3, hd, D) if width else (H, 3, hd))
+                g = qkv.reshape(shape)
+                for j, proj in enumerate(('q_proj', 'k_proj', 'v_proj')):
+                    t = g[:, j].reshape((H * hd, D) if width else (H * hd,))
+                    out[f'{b}.self_attn.{proj}.{part}'] = t
+        return _finish_from_flat(cls, cfg, out, path, hf)
+
+
+@MODEL_REGISTRY.register(name='InternLM2')
+class InternLM2Adapter(LlamaAdapter):
+    """InternLM2: the Llama graph under different names, with a grouped
+    fused wqkv ([KVH, rep+2, hd] row groups).  Reference:
+    llmc/models/internlm2.py."""
+
+    name = 'InternLM2'
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from .hf_loader import load_hf_config, load_hf_tensors
+        hf = load_hf_config(path)
+        cfg = L.LlamaConfig.from_hf(hf)
+        H, KVH, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                      cfg.head_dim)
+        rep = H // KVH
+        flat = load_hf_tensors(path, dtype=dtype)
+        out = {}
+        for name, t in flat.items():
+            n = name.replace('model.tok_embeddings', 'model.embed_tokens')
+            n = n.replace('.attention.wo', '.self_attn.o_proj')
+            n = n.replace('.feed_forward.w1', '.mlp.gate_proj')
+            n = n.replace('.feed_forward.w3', '.mlp.up_proj')
+            n = n.replace('.feed_forward.w2', '.mlp.down_proj')
+            n = n.replace('.attention_norm', '.input_layernorm')
+            n = n.replace('.ffn_norm', '.post_attention_layernorm')
+            if n == 'output.weight':
+                n = 'lm_head.weight'
+            out[n] = t
+        D = cfg.hidden_size
+        for i in range(cfg.num_hidden_layers):
+            b = f'model.layers.{i}'
+            wqkv = out.pop(f'{b}.attention.wqkv.weight')
+            g = wqkv.reshape(KVH, rep + 2, hd, D)
+            out[f'{b}.self_attn.q_proj.weight'] = g[:, :rep].reshape(
+                H * hd, D)
+            out[f'{b}.self_attn.k_proj.weight'] = g[:, rep].reshape(
+                KVH * hd, D)
+            out[f'{b}.self_attn.v_proj.weight'] = g[:, rep + 1].reshape(
+                KVH * hd, D)
+        return _finish_from_flat(cls, cfg, out, path, hf)
+
+
+@MODEL_REGISTRY.register(name='MiniCPM')
+class MiniCPMAdapter(LlamaAdapter):
+    """MiniCPM: Llama graph + depth/width scaling (scale_emb,
+    scale_depth/sqrt(L) residuals, hidden/dim_model_base logit divisor).
+    Reference: llmc/models/minicpm.py."""
+
+    name = 'MiniCPM'
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from .hf_loader import (llama_params_from_hf, load_hf_config,
+                                load_hf_tensors)
+        hf = load_hf_config(path)
+        nl = hf['num_hidden_layers']
+        cfg = dataclasses.replace(
+            L.LlamaConfig.from_hf(hf),
+            embed_multiplier=hf.get('scale_emb', 1.0),
+            residual_multiplier=hf.get('scale_depth', 1.0) / nl ** 0.5,
+            logit_divisor=(hf['hidden_size']
+                           / hf.get('dim_model_base', hf['hidden_size'])))
+        flat = load_hf_tensors(path, dtype=dtype)
+        return _finish_from_flat(cls, cfg, flat, path, hf)
 
 
 def build_model(config) -> BaseAdapter:

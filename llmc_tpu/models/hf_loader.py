@@ -76,25 +76,38 @@ def llama_params_from_hf(flat: Dict[str, jnp.ndarray], num_layers: int,
         p['b'] = flat.get(f'{prefix}.bias')
         return p
 
+    def ln(prefix: str) -> Dict:
+        p = {'w': flat[f'{prefix}.weight']}
+        b = flat.get(f'{prefix}.bias')
+        if b is not None:  # LayerNorm models (OPT/StableLm/Falcon/...)
+            p['b'] = b
+        return p
+
     blocks = []
     for i in range(num_layers):
         b = f'model.layers.{i}'
         blk = {
-            'input_layernorm': {'w': flat[f'{b}.input_layernorm.weight']},
+            'input_layernorm': ln(f'{b}.input_layernorm'),
             'self_attn': {
                 'q_proj': lin(f'{b}.self_attn.q_proj'),
                 'k_proj': lin(f'{b}.self_attn.k_proj'),
                 'v_proj': lin(f'{b}.self_attn.v_proj'),
                 'o_proj': lin(f'{b}.self_attn.o_proj'),
             },
-            'post_attention_layernorm': {
-                'w': flat[f'{b}.post_attention_layernorm.weight']},
             'mlp': {
-                'gate_proj': lin(f'{b}.mlp.gate_proj'),
                 'up_proj': lin(f'{b}.mlp.up_proj'),
                 'down_proj': lin(f'{b}.mlp.down_proj'),
             },
         }
+        if f'{b}.mlp.gate_proj.weight' in flat:
+            blk['mlp']['gate_proj'] = lin(f'{b}.mlp.gate_proj')
+        if f'{b}.post_attention_layernorm.weight' in flat:
+            blk['post_attention_layernorm'] = ln(
+                f'{b}.post_attention_layernorm')
+        for extra_ln in ('pre_feedforward_layernorm',
+                         'post_feedforward_layernorm'):
+            if f'{b}.{extra_ln}.weight' in flat:  # Gemma2 sandwich norms
+                blk[extra_ln] = ln(f'{b}.{extra_ln}')
         qn = flat.get(f'{b}.self_attn.q_norm.weight')
         if qn is not None:
             blk['self_attn']['q_norm'] = {'w': qn}
@@ -104,15 +117,21 @@ def llama_params_from_hf(flat: Dict[str, jnp.ndarray], num_layers: int,
     params = {
         'embed_tokens': {'w': flat['model.embed_tokens.weight']},
         'blocks': blocks,
-        'norm': {'w': flat['model.norm.weight']},
+        'norm': ln('model.norm'),
     }
+    if 'model.embed_positions.weight' in flat:  # learned abs positions
+        params['embed_positions'] = {
+            'w': flat['model.embed_positions.weight']}
+    if 'model.embed_layernorm.weight' in flat:  # Bloom embedding LN
+        params['embed_layernorm'] = ln('model.embed_layernorm')
     if not tie_embeddings:
         lm = flat.get('lm_head.weight')
         if lm is None:  # some checkpoints tie without the flag
             params['lm_head'] = {'w': flat['model.embed_tokens.weight'],
                                  'b': None}
         else:
-            params['lm_head'] = {'w': lm, 'b': None}
+            params['lm_head'] = {'w': lm,
+                                 'b': flat.get('lm_head.bias')}
     return params
 
 
@@ -140,6 +159,14 @@ def save_llama_params_to_hf(params: Dict, path: str,
         put(f'{b}.input_layernorm.weight', blk['input_layernorm']['w'])
         put(f'{b}.post_attention_layernorm.weight',
             blk['post_attention_layernorm']['w'])
+        for extra_ln in ('pre_feedforward_layernorm',
+                         'post_feedforward_layernorm'):
+            if extra_ln in blk:
+                put(f'{b}.{extra_ln}.weight', blk[extra_ln]['w'])
+        for nrm in ('q_norm', 'k_norm'):
+            if nrm in blk['self_attn']:
+                put(f'{b}.self_attn.{nrm}.weight',
+                    blk['self_attn'][nrm]['w'])
         for proj in ('q_proj', 'k_proj', 'v_proj', 'o_proj'):
             put(f'{b}.self_attn.{proj}.weight', blk['self_attn'][proj]['w'])
             put(f'{b}.self_attn.{proj}.bias', blk['self_attn'][proj].get('b'))

@@ -46,6 +46,27 @@ class LlamaConfig:
     dtype: str = 'bfloat16'
     # qk-norm (Qwen3-style); None disables
     use_qk_norm: bool = False
+    # --- Gemma2-style options (reference llmc/models/gemma2.py) ---------
+    act_fn: str = 'silu'                # 'silu' | 'gelu_tanh'
+    sandwich_norms: bool = False        # post-attn/ffn output norms
+    attn_logit_softcap: Optional[float] = None
+    final_logit_softcap: Optional[float] = None
+    query_pre_attn_scalar: Optional[float] = None
+    sliding_window: Optional[int] = None  # even layers when set (HF conv.)
+    embed_scale: bool = False           # multiply embeddings by sqrt(D)
+    # --- MiniCPM-style scaling (reference llmc/models/minicpm.py) -------
+    embed_multiplier: Optional[float] = None   # scale_emb
+    residual_multiplier: Optional[float] = None  # scale_depth/sqrt(L)
+    logit_divisor: Optional[float] = None      # hidden_size/dim_model_base
+    # --- generalized block graph (StableLm/Falcon/Phi/Starcoder/Bloom) --
+    norm_type: str = 'rms'              # 'rms' | 'ln' (LayerNorm w/ bias)
+    rotary_pct: float = 1.0             # partial rotary; 0 disables rope
+    parallel_residual: bool = False     # y = x + attn(h) + mlp(h')
+    shared_ln: bool = False             # parallel: mlp reads the attn ln
+    gated_mlp: bool = True              # False: up -> act -> down
+    use_alibi: bool = False             # Bloom-style positional bias
+    alibi_scaled: bool = False          # Falcon: alibi also * 1/sqrt(hd)
+    learned_pos: bool = False           # learned absolute pos embeddings
 
     @property
     def jdtype(self):
@@ -78,30 +99,60 @@ class LlamaConfig:
 # Rotary embeddings
 # --------------------------------------------------------------------------
 
+def _rotary_dim(cfg: LlamaConfig) -> int:
+    rd = int(cfg.head_dim * cfg.rotary_pct)
+    return rd - rd % 2
+
+
 def rope_cos_sin(cfg: LlamaConfig, positions: jax.Array
                  ) -> Tuple[jax.Array, jax.Array]:
-    """cos/sin tables for given positions, float32, shape [..., head_dim]."""
-    hd = cfg.head_dim
+    """cos/sin tables for given positions, float32, shape
+    [..., rotary_dim] (= head_dim unless ``rotary_pct`` < 1)."""
+    rd = _rotary_dim(cfg)
+    if rd == 0:
+        z = jnp.zeros(positions.shape + (0,), F32)
+        return z, z
     inv_freq = 1.0 / (cfg.rope_theta ** (
-        jnp.arange(0, hd, 2, dtype=F32) / hd))
-    freqs = positions.astype(F32)[..., None] * inv_freq  # [..., hd/2]
+        jnp.arange(0, rd, 2, dtype=F32) / rd))
+    freqs = positions.astype(F32)[..., None] * inv_freq  # [..., rd/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
 
 
 def apply_rope(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array
                ) -> Tuple[jax.Array, jax.Array]:
-    """HF-style rotate-half rope.  q,k: [B,S,H,hd]; cos/sin: [B?,S,hd]."""
+    """HF-style rotate-half rope.  q,k: [B,S,H,hd]; cos/sin: [B?,S,rd].
+    When rd < hd (partial rotary, StableLm/Phi) only the first rd dims
+    rotate; the tail passes through."""
     def rot(x):
         x1, x2 = jnp.split(x, 2, axis=-1)
         return jnp.concatenate([-x2, x1], axis=-1)
 
     while cos.ndim < q.ndim:
         cos, sin = cos[..., None, :], sin[..., None, :]
-    qf, kf = q.astype(F32), k.astype(F32)
-    q_out = qf * cos + rot(qf) * sin
-    k_out = kf * cos + rot(kf) * sin
-    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+    rd = cos.shape[-1]
+    hd = q.shape[-1]
+    q_pass, k_pass = q[..., rd:], k[..., rd:]
+    qf, kf = q[..., :rd].astype(F32), k[..., :rd].astype(F32)
+    q_out = (qf * cos + rot(qf) * sin).astype(q.dtype)
+    k_out = (kf * cos + rot(kf) * sin).astype(k.dtype)
+    if rd < hd:
+        q_out = jnp.concatenate([q_out, q_pass], axis=-1)
+        k_out = jnp.concatenate([k_out, k_pass], axis=-1)
+    return q_out, k_out
+
+
+def _alibi_slopes(n_heads: int) -> jax.Array:
+    """Bloom-style ALiBi head slopes (geometric; non-pow2 heads get the
+    interleaved extension).  Reference behavior: llmc/models/bloom.py."""
+    import math
+    p = 2 ** math.floor(math.log2(n_heads))
+    base = [2.0 ** (-(2.0 ** -(math.log2(p) - 3)) * (i + 1))
+            for i in range(p)]
+    if p < n_heads:
+        base += [2.0 ** (-(2.0 ** -(math.log2(2 * p) - 3)) * (i + 1))
+                 for i in range(0, 2 * (n_heads - p), 2)]
+    return jnp.asarray(base, F32)
 
 
 # --------------------------------------------------------------------------
@@ -118,7 +169,7 @@ def attention_apply(p: Dict, cfg: LlamaConfig, x: jax.Array,
                     cos: jax.Array, sin: jax.Array,
                     attn_bias: Optional[jax.Array],
                     qmap=None, prefix: str = 'self_attn',
-                    kv_state=None, kv_hook=None):
+                    kv_state=None, kv_hook=None, window=None):
     """Full attention for one block.  Returns (out, o_in, new_kv_state).
 
     ``o_in`` is the input of o_proj (the reference captures it via hooks on
@@ -136,7 +187,8 @@ def attention_apply(p: Dict, cfg: LlamaConfig, x: jax.Array,
     if cfg.use_qk_norm:
         q = rms_norm(q, p['q_norm']['w'], cfg.rms_norm_eps)
         k = rms_norm(k, p['k_norm']['w'], cfg.rms_norm_eps)
-    q, k = apply_rope(q, k, cos, sin)
+    if _rotary_dim(cfg) > 0:
+        q, k = apply_rope(q, k, cos, sin)
     new_kv_state = kv_state
     if kv_hook is not None:
         k, v, new_kv_state = kv_hook(k, v, kv_state)
@@ -144,17 +196,32 @@ def attention_apply(p: Dict, cfg: LlamaConfig, x: jax.Array,
         rep = H // KVH
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
-    scale = 1.0 / (hd ** 0.5)
+    qs = cfg.query_pre_attn_scalar
+    scale = 1.0 / ((qs if qs else hd) ** 0.5)
     scores = jnp.einsum('bqhd,bkhd->bhqk', q, k,
                         preferred_element_type=F32) * scale
+    cap = cfg.attn_logit_softcap
+    if cap:
+        scores = cap * jnp.tanh(scores / cap)
     Skv = k.shape[1]
+    if cfg.use_alibi:
+        # per-head linear bias in key position; the (row-constant) query
+        # term softmax cancels, matching HF Bloom's alibi tensor.  Falcon
+        # applies inv_norm_factor to (scores + alibi), i.e. the alibi term
+        # is scaled too (alibi_scaled)
+        slopes = _alibi_slopes(H) * (scale if cfg.alibi_scaled else 1.0)
+        scores = scores + (slopes[:, None, None]
+                           * jnp.arange(Skv, dtype=F32)[None, None, :])
     if attn_bias is not None:
         scores = scores + attn_bias.astype(F32)
     else:
         # causal mask aligned to the *end* of the kv sequence
         q_pos = jnp.arange(S)[:, None] + (Skv - S)
         k_pos = jnp.arange(Skv)[None, :]
-        scores = jnp.where(q_pos >= k_pos, scores, -jnp.inf)
+        keep = q_pos >= k_pos
+        if window is not None:
+            keep = keep & (q_pos - k_pos < window)
+        scores = jnp.where(keep, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ctx = jnp.einsum('bhqk,bkhd->bqhd', probs, v,
                      preferred_element_type=F32).astype(x.dtype)
@@ -163,11 +230,27 @@ def attention_apply(p: Dict, cfg: LlamaConfig, x: jax.Array,
     return out, o_in, new_kv_state
 
 
-def mlp_apply(p: Dict, x: jax.Array, qmap=None, prefix: str = 'mlp'):
-    """SwiGLU MLP.  Returns (out, down_in)."""
-    g = linear_apply(p['gate_proj'], x, _qc(qmap, f'{prefix}.gate_proj'))
+def _act(x: jax.Array, act: str) -> jax.Array:
+    if act == 'gelu_tanh':
+        return jax.nn.gelu(x, approximate=True)
+    if act == 'gelu':
+        return jax.nn.gelu(x, approximate=False)
+    if act == 'relu':
+        return jax.nn.relu(x)
+    return jax.nn.silu(x)
+
+
+def mlp_apply(p: Dict, x: jax.Array, qmap=None, prefix: str = 'mlp',
+              act: str = 'silu'):
+    """Gated MLP (SwiGLU / GeGLU-tanh), or plain up->act->down when the
+    params carry no gate (Starcoder/Phi/Bloom).  Returns (out, down_in)."""
     u = linear_apply(p['up_proj'], x, _qc(qmap, f'{prefix}.up_proj'))
-    down_in = jax.nn.silu(g.astype(F32)).astype(x.dtype) * u
+    if 'gate_proj' in p:
+        g = linear_apply(p['gate_proj'], x,
+                         _qc(qmap, f'{prefix}.gate_proj'))
+        down_in = _act(g.astype(F32), act).astype(x.dtype) * u
+    else:
+        down_in = _act(u.astype(F32), act).astype(x.dtype)
     out = linear_apply(p['down_proj'], down_in,
                        _qc(qmap, f'{prefix}.down_proj'))
     return out, down_in
@@ -181,44 +264,97 @@ def block_apply(bp: Dict, cfg: LlamaConfig, x: jax.Array,
                 cos: jax.Array, sin: jax.Array,
                 attn_bias: Optional[jax.Array] = None,
                 qmap=None, capture: bool = False,
-                kv_state=None, kv_hook=None):
+                kv_state=None, kv_hook=None, window=None):
     """One decoder block.  Returns (y, captures, new_kv_state); captures is
     {} unless ``capture``.
 
     Capture keys correspond 1:1 to the reference's subset inputs
-    (llama.py:52-91): qkv_in, o_in, mlp_in, down_in.
+    (llama.py:52-91): qkv_in, o_in, mlp_in, down_in.  With
+    ``cfg.sandwich_norms`` (Gemma2, reference gemma2.py) the residual is
+    x + post_norm(sublayer(pre_norm(x))) for both halves.
     """
     caps = {}
-    h = rms_norm(x, bp['input_layernorm']['w'], cfg.rms_norm_eps)
+    eps = cfg.rms_norm_eps
+
+    def norm(v, p):
+        if cfg.norm_type == 'ln':
+            return layer_norm(v, p['w'], p.get('b'), eps)
+        return rms_norm(v, p['w'], eps)
+
+    rm = cfg.residual_multiplier or 1.0
+    h = norm(x, bp['input_layernorm'])
     if capture:
         caps['qkv_in'] = h
     attn_out, o_in, kv_state = attention_apply(
         bp['self_attn'], cfg, h, cos, sin, attn_bias, qmap,
-        kv_state=kv_state, kv_hook=kv_hook)
+        kv_state=kv_state, kv_hook=kv_hook, window=window)
     if capture:
         caps['o_in'] = o_in
-    x = x + attn_out
-    h = rms_norm(x, bp['post_attention_layernorm']['w'], cfg.rms_norm_eps)
+    if cfg.parallel_residual:
+        # Falcon/Phi-style: attn and mlp both branch off x (sharing the
+        # attn layernorm when ``shared_ln``); single residual add
+        h2 = h if cfg.shared_ln else norm(x, bp['post_attention_layernorm'])
+        if capture:
+            caps['mlp_in'] = h2
+        mlp_out, down_in = mlp_apply(bp['mlp'], h2, qmap, act=cfg.act_fn)
+        if capture:
+            caps['down_in'] = down_in
+        return x + attn_out + mlp_out, caps, kv_state
+    if cfg.sandwich_norms:
+        attn_out = norm(attn_out, bp['post_attention_layernorm'])
+        x = x + attn_out
+        h = norm(x, bp['pre_feedforward_layernorm'])
+    else:
+        x = x + attn_out * rm
+        h = norm(x, bp['post_attention_layernorm'])
     if capture:
         caps['mlp_in'] = h
-    mlp_out, down_in = mlp_apply(bp['mlp'], h, qmap)
+    mlp_out, down_in = mlp_apply(bp['mlp'], h, qmap, act=cfg.act_fn)
     if capture:
         caps['down_in'] = down_in
-    y = x + mlp_out
+    if cfg.sandwich_norms:
+        mlp_out = norm(mlp_out, bp['post_feedforward_layernorm'])
+    y = x + mlp_out * rm
     return y, caps, kv_state
 
 
-def embed_apply(params: Dict, cfg: LlamaConfig,
-                input_ids: jax.Array) -> jax.Array:
-    return params['embed_tokens']['w'][input_ids]
+def embed_apply(params: Dict, cfg: LlamaConfig, input_ids: jax.Array,
+                positions: Optional[jax.Array] = None) -> jax.Array:
+    e = params['embed_tokens']['w'][input_ids]
+    if cfg.embed_scale:  # Gemma: normalizer sqrt(hidden_size)
+        e = (e.astype(F32) * cfg.hidden_size ** 0.5).astype(e.dtype)
+    if cfg.embed_multiplier:  # MiniCPM scale_emb
+        e = (e.astype(F32) * cfg.embed_multiplier).astype(e.dtype)
+    if cfg.learned_pos:
+        if positions is None:
+            positions = jnp.arange(input_ids.shape[1])[None, :]
+        e = e + params['embed_positions']['w'][positions]
+    if 'embed_layernorm' in params:  # Bloom word_embeddings_layernorm
+        p = params['embed_layernorm']
+        e = layer_norm(e, p['w'], p.get('b'), cfg.rms_norm_eps)
+    return e
 
 
 def head_apply(params: Dict, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
     """final norm + lm_head -> logits (float32)."""
-    h = rms_norm(x, params['norm']['w'], cfg.rms_norm_eps)
+    p = params['norm']
+    if cfg.norm_type == 'ln':
+        h = layer_norm(x, p['w'], p.get('b'), cfg.rms_norm_eps)
+    else:
+        h = rms_norm(x, p['w'], cfg.rms_norm_eps)
+    if cfg.logit_divisor:  # MiniCPM hidden_size/dim_model_base
+        h = (h.astype(F32) / cfg.logit_divisor).astype(h.dtype)
     w = (params['embed_tokens']['w'] if cfg.tie_word_embeddings
          else params['lm_head']['w'])
-    return jnp.dot(h, w.T, preferred_element_type=F32)
+    logits = jnp.dot(h, w.T, preferred_element_type=F32)
+    if not cfg.tie_word_embeddings:
+        b = params['lm_head'].get('b')
+        if b is not None:  # Phi-style biased head
+            logits = logits + b.astype(F32)
+    cap = cfg.final_logit_softcap
+    if cap:
+        logits = cap * jnp.tanh(logits / cap)
+    return logits
 
 
 def model_apply(params: Dict, cfg: LlamaConfig, input_ids: jax.Array,
@@ -228,8 +364,12 @@ def model_apply(params: Dict, cfg: LlamaConfig, input_ids: jax.Array,
     B, S = input_ids.shape
     x = embed_apply(params, cfg, input_ids)
     cos, sin = rope_cos_sin(cfg, jnp.arange(S)[None, :])
-    for bp in params['blocks']:
-        x, _, _ = block_apply(bp, cfg, x, cos, sin, attn_bias, qmap)
+    for i, bp in enumerate(params['blocks']):
+        # HF Gemma2 convention: even layers use the sliding window
+        win = (cfg.sliding_window
+               if cfg.sliding_window and i % 2 == 0 else None)
+        x, _, _ = block_apply(bp, cfg, x, cos, sin, attn_bias, qmap,
+                              window=win)
     return head_apply(params, cfg, x)
 
 
@@ -239,6 +379,15 @@ def model_apply(params: Dict, cfg: LlamaConfig, input_ids: jax.Array,
 
 def llama_layout(cfg: LlamaConfig) -> BlockLayout:
     gqa = cfg.num_key_value_heads != cfg.num_attention_heads
+    # Gemma2 sandwich norms: gate/up's producing norm is the pre-ffn norm
+    # (post_attention_layernorm is an *output* norm there and must not be
+    # used as a scaling prev_op)
+    ffn_ln = ('pre_feedforward_layernorm' if cfg.sandwich_norms
+              else 'input_layernorm'
+              if cfg.parallel_residual and cfg.shared_ln
+              else 'post_attention_layernorm')
+    mlp_layers = (('mlp.gate_proj', 'mlp.up_proj') if cfg.gated_mlp
+                  else ('mlp.up_proj',))
     subsets = (
         SubsetSpec(
             name='qkv',
@@ -253,8 +402,8 @@ def llama_layout(cfg: LlamaConfig) -> BlockLayout:
             input_key='o_in', inspect='o_proj', is_gqa=gqa),
         SubsetSpec(
             name='gate_up',
-            layers=('mlp.gate_proj', 'mlp.up_proj'),
-            prev_op='post_attention_layernorm', prev_kind='ln',
+            layers=mlp_layers,
+            prev_op=ffn_ln, prev_kind='ln',
             input_key='mlp_in', inspect='mlp', is_mlp=True),
         SubsetSpec(
             name='down',
@@ -263,16 +412,21 @@ def llama_layout(cfg: LlamaConfig) -> BlockLayout:
             input_key='down_in', inspect='down_proj', is_mlp=True),
     )
     linears = ('self_attn.q_proj', 'self_attn.k_proj', 'self_attn.v_proj',
-               'self_attn.o_proj', 'mlp.gate_proj', 'mlp.up_proj',
-               'mlp.down_proj')
+               'self_attn.o_proj') + tuple(f'{n}' for n in mlp_layers) + (
+               'mlp.down_proj',)
     capture_of = (
         ('self_attn.q_proj', 'qkv_in'), ('self_attn.k_proj', 'qkv_in'),
         ('self_attn.v_proj', 'qkv_in'), ('self_attn.o_proj', 'o_in'),
-        ('mlp.gate_proj', 'mlp_in'), ('mlp.up_proj', 'mlp_in'),
-        ('mlp.down_proj', 'down_in'))
+    ) + tuple((n, 'mlp_in') for n in mlp_layers) + (
+        ('mlp.down_proj', 'down_in'),)
+    if cfg.parallel_residual and cfg.shared_ln:
+        lns = ('input_layernorm',)
+    else:
+        lns = ('input_layernorm', 'post_attention_layernorm')
+    if cfg.sandwich_norms:
+        lns += ('pre_feedforward_layernorm', 'post_feedforward_layernorm')
     return BlockLayout(
-        subsets=subsets, linears=linears,
-        layernorms=('input_layernorm', 'post_attention_layernorm'),
+        subsets=subsets, linears=linears, layernorms=lns,
         capture_of=capture_of)
 
 
@@ -295,7 +449,7 @@ def make_inspect_fns(cfg: LlamaConfig):
                             _qc(qmap, 'self_attn.o_proj'))
 
     def mlp(bp, h, kw, qmap=None):
-        out, _ = mlp_apply(bp['mlp'], h, qmap)
+        out, _ = mlp_apply(bp['mlp'], h, qmap, act=cfg.act_fn)
         return out
 
     def down_proj(bp, down_in, kw, qmap=None):
@@ -322,29 +476,45 @@ def init_params(cfg: LlamaConfig, key: jax.Array, dtype=None) -> Dict:
         p['b'] = jnp.zeros((out_d,), dtype) if bias else None
         return p
 
+    def nrm():
+        p = {'w': jnp.ones((D,), dtype)}
+        if cfg.norm_type == 'ln':
+            p['b'] = jnp.zeros((D,), dtype)
+        return p
+
     blocks = []
     for _ in range(cfg.num_hidden_layers):
-        blocks.append({
-            'input_layernorm': {'w': jnp.ones((D,), dtype)},
+        extra = ({'pre_feedforward_layernorm': nrm(),
+                  'post_feedforward_layernorm': nrm()}
+                 if cfg.sandwich_norms else {})
+        mlp = {'up_proj': lin(I, D, cfg.mlp_bias),
+               'down_proj': lin(D, I, cfg.mlp_bias)}
+        if cfg.gated_mlp:
+            mlp['gate_proj'] = lin(I, D, cfg.mlp_bias)
+        blk = {
+            **extra,
+            'input_layernorm': nrm(),
             'self_attn': {
                 'q_proj': lin(H * hd, D, cfg.attention_bias),
                 'k_proj': lin(KVH * hd, D, cfg.attention_bias),
                 'v_proj': lin(KVH * hd, D, cfg.attention_bias),
                 'o_proj': lin(D, H * hd, cfg.attention_bias),
             },
-            'post_attention_layernorm': {'w': jnp.ones((D,), dtype)},
-            'mlp': {
-                'gate_proj': lin(I, D, cfg.mlp_bias),
-                'up_proj': lin(I, D, cfg.mlp_bias),
-                'down_proj': lin(D, I, cfg.mlp_bias),
-            },
-        })
+            'mlp': mlp,
+        }
+        if not (cfg.parallel_residual and cfg.shared_ln):
+            blk['post_attention_layernorm'] = nrm()
+        blocks.append(blk)
     params = {
         'embed_tokens': {'w': (jax.random.normal(
             next(keys), (cfg.vocab_size, D), F32) * 0.02).astype(dtype)},
         'blocks': blocks,
-        'norm': {'w': jnp.ones((D,), dtype)},
+        'norm': nrm(),
     }
+    if cfg.learned_pos:
+        params['embed_positions'] = {'w': (jax.random.normal(
+            next(keys), (cfg.max_position_embeddings, D), F32)
+            * 0.02).astype(dtype)}
     if not cfg.tie_word_embeddings:
         params['lm_head'] = lin(cfg.vocab_size, D, False)
     return params
