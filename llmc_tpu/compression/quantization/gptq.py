@@ -19,6 +19,7 @@ and fake-quant deploy reproduces the loop's quantization exactly
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -43,14 +44,32 @@ class GPTQ(BaseBlockwiseQuantization):
         self.actorder = sp.get('actorder', False)
         self.percdamp = sp.get('percdamp', 0.01)
         self.blocksize = sp.get('blocksize', 128)
+        # OWQ (gptq.py:44-48,58-82): keep the n_out highest-sensitivity
+        # (diag H) input columns of each linear in full precision; they
+        # are permuted to the end so the compensation loop's error never
+        # propagates from them, and deploy restores their FP values
+        self.owq = sp.get('owq', False)
+        self.n_outs = sp.get('n_outs', 0) if self.owq else 0
         if self.wspec.granularity == 'per_group' and not self.static_groups:
             # in-loop group qparam search requires block==group alignment
             self.blocksize = self.wspec.group_size
+        self.check_special(sp)
+        self._core_cache = {}
+
+    @classmethod
+    def check_special(cls, sp):
+        """Construct-free option validation (run by the CLI's fail-fast
+        stage before any heavy work)."""
         # TODO(round 2): static_groups+actorder needs original-column group
         # qparams indexed through the permutation (gptq.py:225-227)
-        assert not (self.static_groups and self.actorder), \
-            'static_groups with actorder not yet supported'
-        self._core_cache = {}
+        if sp.get('static_groups') and sp.get('actorder'):
+            raise ValueError(
+                'GPTQ: static_groups with actorder not yet supported')
+        if sp.get('static_groups') and sp.get('owq'):
+            raise ValueError(
+                'GPTQ: static_groups with owq not supported')
+        if sp.get('owq') and 'n_outs' not in sp:
+            raise ValueError("GPTQ: special.owq requires special.n_outs")
 
     # ------------------------------------------------------------------
     # Hessians from captured activations (no hooks needed: one H per
@@ -100,11 +119,19 @@ class GPTQ(BaseBlockwiseQuantization):
         H = self._hessian(feats[subset.input_key])
         for path in subset.layers:
             lin = get_path(block, path)
-            new_lin = self.layer_transform(lin, H)
+            new_lin = self.layer_transform(lin, H, path=path)
             block = set_path(block, path, new_lin)
         return block
 
-    def layer_transform(self, lin: Dict, H: jnp.ndarray) -> Dict:
+    def _n_out_of(self, path: Optional[str]) -> int:
+        if not self.owq:
+            return 0
+        if isinstance(self.n_outs, (list, tuple)):
+            return int(self.n_outs[self.layout.linears.index(path)])
+        return int(self.n_outs)
+
+    def layer_transform(self, lin: Dict, H: jnp.ndarray,
+                        path: Optional[str] = None) -> Dict:
         W = lin['w'].astype(F32)
         oc, C = W.shape
         dead = jnp.diag(H) == 0
@@ -112,15 +139,27 @@ class GPTQ(BaseBlockwiseQuantization):
                        jnp.eye(C, dtype=F32), 0.0) + H
         W = jnp.where(dead[None, :], 0.0, W)
 
+        n_out = self._n_out_of(path)
         perm = None
-        if self.actorder:
+        if n_out > 0:
+            # hessian_sorting (gptq.py:58-82): outlier columns go last
+            desc = jnp.argsort(-jnp.diag(Hd))
+            if self.actorder:
+                perm = jnp.concatenate([desc[n_out:], desc[:n_out]])
+            else:
+                keep = jnp.ones((C,), bool).at[desc[:n_out]].set(False)
+                perm = jnp.concatenate(
+                    [jnp.arange(C)[keep], desc[:n_out]])
+        elif self.actorder:
             perm = jnp.argsort(-jnp.diag(Hd))
+        if perm is not None:
             W = W[:, perm]
             Hd = Hd[perm][:, perm]
 
-        key = (oc, C)
+        key = (oc, C, n_out)
         if key not in self._core_cache:
-            self._core_cache[key] = jax.jit(self._layer_core)
+            self._core_cache[key] = jax.jit(
+                functools.partial(self._layer_core, n_out=n_out))
         Wq, scales, zeros, mask = self._core_cache[key](W, Hd)
 
         if perm is not None:
@@ -136,14 +175,21 @@ class GPTQ(BaseBlockwiseQuantization):
             out['perm'] = perm
         if mask is not None:
             out['spqr_mask'] = mask
+        if n_out > 0:
+            out['owq_n_out'] = n_out
         return out
 
     # ------------------------------------------------------------------
-    def _layer_core(self, W, H):
+    def _layer_core(self, W, H, n_out: int = 0):
         """damping + cholesky + blocked compensation.  Returns
-        (compensated W, scales [oc, ng], zeros [oc, ng]|None)."""
+        (compensated W, scales [oc, ng], zeros [oc, ng]|None).  With
+        ``n_out`` (OWQ) the last n_out (outlier) columns are excluded
+        from every qparam range search (gptq.py:218-221); their in-loop
+        quantization error never propagates (they sort last) and deploy
+        restores them to FP."""
         spec = self.wspec
         oc, C = W.shape
+        n_nonout = C - n_out
         damp = self.percdamp * jnp.mean(jnp.diag(H))
         H = H + damp * jnp.eye(C, dtype=F32)
         # Hinv = upper-cholesky factor U of H^-1 (H^-1 = Uᵀ U), matching
@@ -157,8 +203,17 @@ class GPTQ(BaseBlockwiseQuantization):
         gs = spec.group_size if spec.granularity == 'per_group' else C
         ng = C // gs
 
-        def qp_of(cols):
-            """qparams for a column group (current W values)."""
+        def qp_of(cols, valid=None):
+            """qparams for a column group (current W values).  ``valid``
+            masks OWQ outlier columns out of the range search (minmax
+            only; masked mse falls back to masked minmax)."""
+            if valid is not None:
+                big = jnp.float32(3e38)
+                lo = jnp.min(jnp.where(valid, cols, big), 1, keepdims=True)
+                hi = jnp.max(jnp.where(valid, cols, -big), 1, keepdims=True)
+                lo = jnp.minimum(lo, 0.0)
+                hi = jnp.maximum(hi, 0.0)
+                return qparams_from_range(spec, (lo, hi))
             if spec.calib_algo == 'mse':
                 rng = mse_range(spec.replace(granularity='per_channel'),
                                 cols)
@@ -167,9 +222,10 @@ class GPTQ(BaseBlockwiseQuantization):
                                    cols)
             return qparams_from_range(spec, rng)
 
-        # static/per-channel qparams from the original W
+        # static/per-channel qparams from the original W (OWQ: from the
+        # non-outlier prefix only, gptq.py:158-168)
         if spec.granularity != 'per_group':
-            qp_static = qp_of(W)
+            qp_static = qp_of(W[:, :n_nonout] if n_out else W)
         elif self.static_groups:
             sc, zr = [], []
             for g in range(ng):
@@ -196,7 +252,11 @@ class GPTQ(BaseBlockwiseQuantization):
             Wb = jax.lax.dynamic_slice(W, (0, i1), (oc, bs))
             Hb = jax.lax.dynamic_slice(Hinv, (i1, i1), (bs, bs))
             if spec.granularity == 'per_group' and not self.static_groups:
-                qp = qp_of(Wb)  # block == group (aligned in __init__)
+                # block == group (aligned in __init__); OWQ masks the
+                # outlier tail out of the range search
+                valid = ((i1 + jnp.arange(bs))[None, :] < n_nonout
+                         if n_out else None)
+                qp = qp_of(Wb, valid=valid)
                 s = qp.scales
                 z = jnp.broadcast_to(jnp.asarray(qp.zeros, F32), s.shape)
                 scales_out = jax.lax.dynamic_update_slice(
@@ -265,7 +325,8 @@ class GPTQ(BaseBlockwiseQuantization):
     # ------------------------------------------------------------------
     # deploy: static qdq with the loop's qparams (w_qdq, gptq.py:430-459)
     # ------------------------------------------------------------------
-    def static_w_qdq(self, lin: Dict) -> jnp.ndarray:
+    def static_w_qdq(self, lin: Dict, n_out: Optional[int] = None
+                     ) -> jnp.ndarray:
         spec = self.wspec
         w = lin['w'].astype(F32)
         oc, C = w.shape
@@ -279,13 +340,18 @@ class GPTQ(BaseBlockwiseQuantization):
         wg = w.reshape(oc, -1, gs)
         q = jnp.clip(jnp.round(wg / s) + z, spec.qmin, spec.qmax)
         out = ((q - z) * s).reshape(oc, C)
+        if n_out is None:
+            n_out = lin.get('owq_n_out', 0)
+        if n_out:  # OWQ: outlier tail stays FP (w_qdq, gptq.py:440-446)
+            out = jnp.concatenate([out[:, :C - n_out], w[:, C - n_out:]],
+                                  axis=1)
         if perm is not None:
             out = out[:, jnp.argsort(perm)]
         return out.astype(lin['w'].dtype)
 
     def bake_fake_quant_weights(self):
         from ...models.base import get_path, set_path
-        fn = jax.jit(self.static_w_qdq)
+        fns = {}  # jit per static n_out (the dict's int leaf would trace)
         for b in range(self.model.n_blocks):
             blk = self.model.blocks[b]
             for path in self.layout.linears:
@@ -294,7 +360,14 @@ class GPTQ(BaseBlockwiseQuantization):
                 lin = get_path(blk, path)
                 if 'gptq_scales' not in lin:
                     continue
-                blk = set_path(blk, path, dict(lin, w=fn(lin)))
+                n_out = int(lin.pop('owq_n_out', 0))
+                if n_out not in fns:
+                    fns[n_out] = jax.jit(functools.partial(
+                        self.static_w_qdq, n_out=n_out))
+                new = dict(lin, w=fns[n_out](lin))
+                if n_out:
+                    new['owq_n_out'] = n_out
+                blk = set_path(blk, path, new)
             self.model.set_block(b, blk)
 
     def fake_quant_qcfg(self, block_idx, path):

@@ -51,9 +51,13 @@ def run_pipeline(config: Dict) -> Dict:
     """Returns a result dict with eval metrics per position."""
     config = Cfg(config)
     check_config(config)
-    # fail fast on unknown algorithms before any heavy work
+    # fail fast on unknown algorithms / invalid option combos before any
+    # heavy work (eval_pretrain can take minutes)
     for _, mcfg in get_modality(config):
-        ALGO_REGISTRY[mcfg['method']]
+        cls = ALGO_REGISTRY[mcfg['method']]
+        check = getattr(cls, 'check_special', None)
+        if check is not None:
+            check(mcfg.get('special', {}) or {})
     seed_all(config.get('base', {}).get('seed', 42))
     results = {}
     t0 = time.time()

@@ -53,6 +53,51 @@ def test_gptq_actorder_runs():
     assert Wq.shape == W.shape and np.isfinite(Wq).all()
 
 
+def test_gptq_owq_outliers_stay_fp():
+    """OWQ: the n_out highest-sensitivity columns must come back from
+    static_w_qdq exactly equal to the compensated FP weight (no qdq),
+    while the rest actually quantize."""
+    algo = _make_gptq({'owq': True, 'n_outs': 4})
+    rng = np.random.RandomState(2)
+    oc, C = 16, 64
+    W = rng.randn(oc, C).astype(np.float32)
+    scale_cols = np.ones(C, np.float32)
+    scale_cols[[3, 17, 40, 63]] = 30.0  # dominant-sensitivity columns
+    X = (rng.randn(256, C) * scale_cols).astype(np.float32)
+    H = algo._hessian([jnp.asarray(X)])
+    new = algo.layer_transform({'w': jnp.asarray(W), 'b': None}, H)
+    assert new['owq_n_out'] == 4 and 'perm' in new
+    perm = np.asarray(new['perm'])
+    assert set(perm[-4:]) == {3, 17, 40, 63}
+    Wq = np.asarray(algo.static_w_qdq(new))
+    Wt = np.asarray(new['w'])  # compensated FP (original column order)
+    np.testing.assert_array_equal(Wq[:, perm[-4:]], Wt[:, perm[-4:]])
+    other = perm[:-4]
+    assert np.abs(Wq[:, other] - Wt[:, other]).max() > 0
+
+
+def test_gptq_owq_actorder_beats_plain_owq_none():
+    """OWQ + actorder runs and quantized output error (on calib data)
+    is no worse than GPTQ without outlier protection."""
+    from llmc_tpu.quant import fake_quant_weight
+    rng = np.random.RandomState(3)
+    oc, C, T = 16, 64, 256
+    W = rng.randn(oc, C).astype(np.float32)
+    scale_cols = 1 + 10 * (rng.rand(C) ** 4)
+    X = (rng.randn(T, C) * scale_cols).astype(np.float32)
+
+    def err_of(special):
+        algo = _make_gptq(special)
+        H = algo._hessian([jnp.asarray(X)])
+        new = algo.layer_transform({'w': jnp.asarray(W), 'b': None}, H)
+        Wq = np.asarray(algo.static_w_qdq(new))
+        return ((X @ (Wq - W).T) ** 2).mean()
+
+    e_owq = err_of({'owq': True, 'n_outs': 8, 'actorder': True})
+    e_plain = err_of({'actorder': True})
+    assert np.isfinite(e_owq) and e_owq <= e_plain * 1.05
+
+
 def test_gptq_pipeline():
     res = run(tiny_config('GPTQ', wbit=4,
                           special={'actorder': True, 'percdamp': 0.01},
