@@ -158,8 +158,10 @@ class GPTQ(BaseBlockwiseQuantization):
 
         key = (oc, C, n_out)
         if key not in self._core_cache:
-            self._core_cache[key] = jax.jit(
-                functools.partial(self._layer_core, n_out=n_out))
+            # subclasses (SpQR) override _layer_core without OWQ support
+            fn = (functools.partial(self._layer_core, n_out=n_out)
+                  if n_out else self._layer_core)
+            self._core_cache[key] = jax.jit(fn)
         Wq, scales, zeros, mask = self._core_cache[key](W, Hd)
 
         if perm is not None:
@@ -362,8 +364,11 @@ class GPTQ(BaseBlockwiseQuantization):
                     continue
                 n_out = int(lin.pop('owq_n_out', 0))
                 if n_out not in fns:
-                    fns[n_out] = jax.jit(functools.partial(
-                        self.static_w_qdq, n_out=n_out))
+                    # subclasses (SpQR) override static_w_qdq w/o OWQ
+                    fn = (functools.partial(self.static_w_qdq,
+                                            n_out=n_out)
+                          if n_out else self.static_w_qdq)
+                    fns[n_out] = jax.jit(fn)
                 new = dict(lin, w=fns[n_out](lin))
                 if n_out:
                     new['owq_n_out'] = n_out

@@ -44,7 +44,7 @@ class CalibDataset:
 
     # --- sources --------------------------------------------------------
     def _build(self):
-        if self.name == 'synthetic':
+        if self.name in ('synthetic', 'synthetic_vlm'):
             return None  # generated directly in get_calib_dataset
         if self.name == 'custom_txt':
             return self._load_custom_txt(self.path)
@@ -86,6 +86,23 @@ class CalibDataset:
         """Returns (batches, padding_masks).  Each batch:
         {'input_ids': np.int32 [bs, seq], 'attention_mask': optional}."""
         random.seed(self.seed)
+        if self.name == 'synthetic_vlm':
+            # multimodal synthetic batches: ids with one contiguous image
+            # placeholder span + random pixel_values (VLM calib path)
+            rng = np.random.RandomState(self.seed + rank)
+            vocab = int(self.cfg.get('vocab_size', 32000))
+            img_tok = int(self.cfg.get('image_token', vocab))
+            img_len = int(self.cfg.get('image_seq_length', 4))
+            img_size = int(self.cfg.get('image_size', 28))
+            chans = int(self.cfg.get('num_channels', 3))
+            batches = []
+            for _ in range(self.n_samples):
+                ids = rng.randint(0, vocab, size=(1, self.seq_len))
+                ids[0, 1:1 + img_len] = img_tok
+                px = rng.randn(1, chans, img_size, img_size)
+                batches.append({'input_ids': ids.astype(np.int32),
+                                'pixel_values': px.astype(np.float32)})
+            return batches, None
         if self.name == 'synthetic':
             rng = np.random.RandomState(self.seed + rank)
             vocab = int(self.cfg.get('vocab_size', 32000))

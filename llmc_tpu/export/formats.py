@@ -68,8 +68,10 @@ def export_awq_gemm_linear(codes_u: np.ndarray, scales: np.ndarray,
     codes [oc, ic]; scales/zeros: [oc, ic/gs]."""
     pf = 32 // bits
     oc, ic = codes_u.shape
-    intweight = codes_u.T.astype(np.uint32)            # [ic, oc]
-    zeros_t = zeros.T.astype(np.uint32)                # [ic/gs, oc]
+    # C-contiguity matters twice here: the native packer reads the raw
+    # buffer row-major, and safetensors serializes raw buffers
+    intweight = np.ascontiguousarray(codes_u.T).astype(np.uint32)
+    zeros_t = np.ascontiguousarray(zeros.T).astype(np.uint32)
     order = AWQ_ORDER[:pf]
 
     # AWQ packs groups of pf consecutive out-channels with the order map
@@ -88,7 +90,7 @@ def export_awq_gemm_linear(codes_u: np.ndarray, scales: np.ndarray,
     return {
         'qweight': pack_awq(intweight),
         'qzeros': pack_awq(zeros_t),
-        'scales': scales.T.astype(np.float16),
+        'scales': np.ascontiguousarray(scales.T).astype(np.float16),
     }
 
 

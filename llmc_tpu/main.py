@@ -82,6 +82,8 @@ def run_pipeline(config: Dict) -> Dict:
 
     blockwise_opt = None
     for modality, mcfg in get_modality(config):
+        if hasattr(model, 'set_modality'):
+            model.set_modality(modality)
         calib_cfg = config.get('calib')
         if calib_cfg and mcfg.get('method') != 'Dense':
             dataset = CalibDataset(calib_cfg, model.tokenizer)
@@ -98,6 +100,8 @@ def run_pipeline(config: Dict) -> Dict:
                 trace(config.get('base', {}).get('trace_dir')):
             blockwise_opt.run_block_loop()
 
+    if hasattr(model, 'set_modality'):
+        model.set_modality('language')  # evals run on the LM stack
     if ppl_eval and 'transformed' in eval_pos:
         with TIMER.phase('eval_transformed'):
             results['ppl_transformed'] = ppl_eval.eval(model)
@@ -142,6 +146,16 @@ def run_pipeline(config: Dict) -> Dict:
                               dict(blockwise_opt.quant_config), out,
                               backend=backend)
             results['saved_to'] = out
+    if save.get('save_trtllm'):
+        from .export.trtllm import export_trtllm
+        out = save.get('save_path', './save_trtllm')
+        bits = (blockwise_opt.wspec.bit
+                if blockwise_opt is not None else 4)
+        export_trtllm(model, out,
+                      tp_size=int(save.get('tp_size', 1)),
+                      pp_size=int(save.get('pp_size', 1)),
+                      quant_algo={4: 'W4A16', 8: 'W8A16'}.get(bits))
+        results['saved_to'] = out
     results['wall_s'] = time.time() - t0
     results['phase_times'] = TIMER.as_dict()
     results['model'] = model

@@ -1051,6 +1051,56 @@ class InternLM2Adapter(LlamaAdapter):
         return _finish_from_flat(cls, cfg, out, path, hf)
 
 
+@MODEL_REGISTRY.register(name='Glm')
+@MODEL_REGISTRY.register(name='ChatGLM')
+class GlmAdapter(LlamaAdapter):
+    """GLM-4 / ChatGLM family: Llama graph with interleaved partial
+    rotary (pairs share each frequency), biased qkv, and a fused
+    gate_up_proj checkpoint split at load.  Reference:
+    llmc/models/chatglm.py."""
+
+    name = 'Glm'
+
+    @classmethod
+    def from_config(cls, config):
+        m = config['model']
+        if not m.get('path') and 'arch' in m:
+            m['arch'].setdefault('rotary_pct', 0.5)
+            m['arch'].setdefault('rope_interleaved', True)
+            m['arch'].setdefault('attention_bias', True)
+        return super().from_config(config)
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from .hf_loader import (llama_params_from_hf, load_hf_config,
+                                load_hf_tensors)
+        hf = load_hf_config(path)
+        cfg = dataclasses.replace(
+            L.LlamaConfig.from_hf(hf),
+            rotary_pct=hf.get('partial_rotary_factor', 0.5),
+            rope_interleaved=True)
+        flat = load_hf_tensors(path, dtype=dtype)
+        I = cfg.intermediate_size
+        for i in range(cfg.num_hidden_layers):
+            b = f'model.layers.{i}'
+            for part in ('weight', 'bias'):
+                key = f'{b}.mlp.gate_up_proj.{part}'
+                if key not in flat:
+                    continue
+                gu = flat.pop(key)
+                flat[f'{b}.mlp.gate_proj.{part}'] = gu[:I]
+                flat[f'{b}.mlp.up_proj.{part}'] = gu[I:]
+        params = llama_params_from_hf(flat, cfg.num_hidden_layers,
+                                      cfg.tie_word_embeddings)
+        tok = None
+        try:
+            from transformers import AutoTokenizer
+            tok = AutoTokenizer.from_pretrained(path)
+        except Exception:
+            pass
+        return cls(cfg, params, tok, hf)
+
+
 @MODEL_REGISTRY.register(name='MiniCPM')
 class MiniCPMAdapter(LlamaAdapter):
     """MiniCPM: Llama graph + depth/width scaling (scale_emb,
@@ -1073,6 +1123,149 @@ class MiniCPMAdapter(LlamaAdapter):
                            / hf.get('dim_model_base', hf['hidden_size'])))
         flat = load_hf_tensors(path, dtype=dtype)
         return _finish_from_flat(cls, cfg, flat, path, hf)
+
+
+@MODEL_REGISTRY.register(name='Llava')
+class LlavaAdapter(LlamaAdapter):
+    """Llava VLM (reference llmc/models/llava.py): CLIP tower + MLP
+    projector + Llama LM.  ``set_modality('vision'|'language')`` switches
+    which block stack the compression engine sees, mirroring the
+    reference's modality dispatch; calib batches may carry
+    ``pixel_values`` alongside ``input_ids``."""
+
+    name = 'Llava'
+
+    def __init__(self, cfg, params, tokenizer=None, hf_config=None):
+        from . import llava as LV
+        self._LV = LV
+        self.llava_cfg = cfg
+        BaseAdapter.__init__(self, cfg.text, params, tokenizer, hf_config)
+        self._modality = 'language'
+        self._layout = L.llama_layout(cfg.text)
+        self._vlayout = L.llama_layout(cfg.vision)
+
+    # --- constructors ---------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from . import llava as LV
+        from .hf_loader import load_hf_config, load_hf_tensors
+        hf = load_hf_config(path)
+        tcfg = L.LlamaConfig.from_hf(hf['text_config'])
+        v = hf['vision_config']
+        vcfg = LV.LlavaConfig.clip_block_cfg(
+            v['hidden_size'], v['intermediate_size'],
+            v['num_hidden_layers'], v['num_attention_heads'],
+            v.get('layer_norm_eps', 1e-5))
+        cfg = LV.LlavaConfig(
+            text=tcfg, vision=vcfg,
+            image_size=v.get('image_size', 336),
+            patch_size=v.get('patch_size', 14),
+            image_token_index=hf.get('image_token_index', 32000),
+            vision_feature_layer=hf.get('vision_feature_layer', -2),
+            vision_feature_select_strategy=hf.get(
+                'vision_feature_select_strategy', 'default'))
+        flat = load_hf_tensors(path, dtype=dtype)
+        params = LV.params_from_hf(flat, cfg)
+        tok = None
+        try:
+            from transformers import AutoTokenizer
+            tok = AutoTokenizer.from_pretrained(path)
+        except Exception:
+            pass
+        return cls(cfg, params, tok, hf)
+
+    @classmethod
+    def from_config(cls, config):
+        from . import llava as LV
+        m = config['model']
+        if m.get('path'):
+            return cls.from_pretrained(m['path'])
+        arch = dict(m.get('arch', {}))
+        varch = arch.pop('vision', {})
+        vcfg = LV.LlavaConfig.clip_block_cfg(
+            varch.get('hidden_size', 32),
+            varch.get('intermediate_size', 64),
+            varch.get('num_hidden_layers', 2),
+            varch.get('num_attention_heads', 2))
+        extra = {k: arch.pop(k) for k in
+                 ('image_size', 'patch_size', 'image_token_index')
+                 if k in arch}
+        cfg = LV.LlavaConfig(text=L.LlamaConfig(**arch), vision=vcfg,
+                             **extra)
+        key = jax.random.PRNGKey(int(m.get('seed', 0)))
+        return cls(cfg, LV.init_params(cfg, key))
+
+    # --- modality dispatch ---------------------------------------------
+    def set_modality(self, modality: str):
+        assert modality in ('language', 'vision'), modality
+        self._modality = modality
+
+    @property
+    def blocks(self):
+        if self._modality == 'vision':
+            return self.params['vision']['blocks']
+        return self.params['blocks']
+
+    @property
+    def n_blocks(self):
+        return len(self.blocks)
+
+    def set_block(self, idx, new_block):
+        self.blocks[idx] = new_block
+
+    def update_block_path(self, idx, path, value):
+        self.blocks[idx] = set_path(self.blocks[idx], path, value)
+
+    def get_layout(self):
+        return (self._vlayout if self._modality == 'vision'
+                else self._layout)
+
+    def block_fn(self):
+        if self._modality == 'vision':
+            vc = self.llava_cfg.vision
+
+            def vfn(bp, x, kw, qmap=None, capture=False, kv_state=None,
+                    kv_hook=None):
+                return L.block_apply(bp, vc, x, None, None,
+                                     attn_bias=kw.get('attn_bias'),
+                                     qmap=qmap, capture=capture)
+            return vfn
+        return super().block_fn()
+
+    def inspect_fns(self):
+        if self._modality == 'vision':
+            return L.make_inspect_fns(self.llava_cfg.vision)
+        return L.make_inspect_fns(self.cfg)
+
+    # --- embeddings / forward -------------------------------------------
+    def embed_and_rope_p(self, params, input_ids, attention_mask=None,
+                         pixel_values=None):
+        LV, cfg = self._LV, self.llava_cfg
+        if self._modality == 'vision':
+            x = LV.clip_embed(params['vision'], cfg, pixel_values
+                              if pixel_values is not None else input_ids)
+            return x, {'attn_bias': jnp.zeros((1, 1, 1, 1), jnp.float32)}
+        x = LV.llava_embed(params, cfg, input_ids, pixel_values)
+        S = input_ids.shape[1]
+        cos, sin = L.rope_cos_sin(cfg.text, jnp.arange(S)[None, :])
+        return x, {'cos': cos, 'sin': sin}
+
+    def collect_first_block_input(self, calib_batches):
+        xs, kws = [], []
+        fn = jax.jit(self.embed_and_rope_p)
+        for batch in calib_batches:
+            px = batch.get('pixel_values')
+            x, kw = fn(self.params, batch.get('input_ids'),
+                       None, px)
+            xs.append(x)
+            kws.append(kw)
+        return xs, kws
+
+    def forward_logits(self, input_ids, qmap=None, pixel_values=None,
+                       token_reduction=None):
+        return self._LV.llava_forward(self.params, self.llava_cfg,
+                                      input_ids, pixel_values, qmap=qmap,
+                                      token_reduction=token_reduction)
 
 
 def build_model(config) -> BaseAdapter:

@@ -61,6 +61,7 @@ class LlamaConfig:
     # --- generalized block graph (StableLm/Falcon/Phi/Starcoder/Bloom) --
     norm_type: str = 'rms'              # 'rms' | 'ln' (LayerNorm w/ bias)
     rotary_pct: float = 1.0             # partial rotary; 0 disables rope
+    rope_interleaved: bool = False      # GLM: c0,c0,c1,c1 pairing
     parallel_residual: bool = False     # y = x + attn(h) + mlp(h')
     shared_ln: bool = False             # parallel: mlp reads the attn ln
     gated_mlp: bool = True              # False: up -> act -> down
@@ -119,14 +120,20 @@ def rope_cos_sin(cfg: LlamaConfig, positions: jax.Array
     return jnp.cos(emb), jnp.sin(emb)
 
 
-def apply_rope(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array
-               ) -> Tuple[jax.Array, jax.Array]:
+def apply_rope(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array,
+               interleaved: bool = False) -> Tuple[jax.Array, jax.Array]:
     """HF-style rotate-half rope.  q,k: [B,S,H,hd]; cos/sin: [B?,S,rd].
     When rd < hd (partial rotary, StableLm/Phi) only the first rd dims
-    rotate; the tail passes through."""
-    def rot(x):
-        x1, x2 = jnp.split(x, 2, axis=-1)
-        return jnp.concatenate([-x2, x1], axis=-1)
+    rotate; the tail passes through.  ``interleaved`` (GLM) rotates
+    adjacent channel pairs (0,1),(2,3),... instead of halves."""
+    if interleaved:
+        def rot(x):
+            x1, x2 = x[..., 0::2], x[..., 1::2]
+            return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+    else:
+        def rot(x):
+            x1, x2 = jnp.split(x, 2, axis=-1)
+            return jnp.concatenate([-x2, x1], axis=-1)
 
     while cos.ndim < q.ndim:
         cos, sin = cos[..., None, :], sin[..., None, :]
@@ -188,7 +195,15 @@ def attention_apply(p: Dict, cfg: LlamaConfig, x: jax.Array,
         q = rms_norm(q, p['q_norm']['w'], cfg.rms_norm_eps)
         k = rms_norm(k, p['k_norm']['w'], cfg.rms_norm_eps)
     if _rotary_dim(cfg) > 0:
-        q, k = apply_rope(q, k, cos, sin)
+        if cfg.rope_interleaved:
+            # GLM (modeling_glm.apply_rotary_pos_emb): the first rd/2
+            # frequencies, duplicated across adjacent channel pairs,
+            # rotated interleaved-complex style
+            rd = cos.shape[-1]
+            cos = jnp.repeat(cos[..., :rd // 2], 2, axis=-1)
+            sin = jnp.repeat(sin[..., :rd // 2], 2, axis=-1)
+        q, k = apply_rope(q, k, cos, sin,
+                          interleaved=cfg.rope_interleaved)
     new_kv_state = kv_state
     if kv_hook is not None:
         k, v, new_kv_state = kv_hook(k, v, kv_state)
@@ -237,6 +252,8 @@ def _act(x: jax.Array, act: str) -> jax.Array:
         return jax.nn.gelu(x, approximate=False)
     if act == 'relu':
         return jax.nn.relu(x)
+    if act == 'quick_gelu':  # CLIP: x * sigmoid(1.702 x)
+        return x * jax.nn.sigmoid(1.702 * x)
     return jax.nn.silu(x)
 
 
@@ -439,8 +456,9 @@ def make_inspect_fns(cfg: LlamaConfig):
     the reference's ``inspect`` modules (llama.py:60,70,78,86)."""
 
     def attn(bp, h, kw, qmap=None):
+        # vision (CLIP) kwargs carry only attn_bias — no rope tables
         out, _, _ = attention_apply(
-            bp['self_attn'], cfg, h, kw['cos'], kw['sin'],
+            bp['self_attn'], cfg, h, kw.get('cos'), kw.get('sin'),
             kw.get('attn_bias'), qmap)
         return out
 

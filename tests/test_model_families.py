@@ -220,3 +220,16 @@ def test_gptq_pipeline_on_falcon_arch():
     }
     res = run_pipeline(config)
     assert res['model'] is not None
+
+
+def test_glm_parity(tmp_path):
+    torch.manual_seed(0)
+    cfg = tr.GlmConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, partial_rotary_factor=0.5,
+        attention_bias=True, tie_word_embeddings=False, pad_token_id=0)
+    from llmc_tpu.models.adapter import GlmAdapter
+    ours = _roundtrip(tr.GlmForCausalLM(cfg), tmp_path, GlmAdapter)
+    assert ours.cfg.rope_interleaved and ours.cfg.rotary_pct == 0.5
+    assert 'gate_proj' in ours.params['blocks'][0]['mlp']

@@ -122,3 +122,57 @@ def test_export_vllm_checkpoint(tmp_path):
     assert 'model.layers.0.self_attn.q_proj.weight_packed' in flat
     assert flat['model.layers.0.self_attn.q_proj.weight_scale'].dtype \
         == np.float16
+
+
+def test_trtllm_checkpoint_export(tmp_path):
+    """TRT-LLM checkpoint writer: config + per-rank safetensors with the
+    transformer.* naming, fused TP-sharded qkv, W4A16 packing whose
+    dequantized values reproduce per-channel symmetric int4 RTN."""
+    import json
+    import jax
+    import numpy as np
+    from safetensors.numpy import load_file
+    from llmc_tpu.export.trtllm import export_trtllm
+    from llmc_tpu.models import LlamaAdapter
+    from llmc_tpu.models.llama import LlamaConfig, init_params
+    cfg = LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=8, dtype='float32')
+    model = LlamaAdapter(cfg, init_params(cfg, jax.random.PRNGKey(0)))
+    out = str(tmp_path / 'trt')
+    export_trtllm(model, out, tp_size=2, pp_size=1, quant_algo='W4A16')
+    config = json.load(open(out + '/config.json'))
+    assert config['mapping'] == {'world_size': 2, 'tp_size': 2,
+                                 'pp_size': 1}
+    assert config['quantization']['quant_algo'] == 'W4A16'
+    r0 = load_file(out + '/rank0.safetensors')
+    r1 = load_file(out + '/rank1.safetensors')
+    # fused qkv col-shard: (H/2 + 2*KVH/2) * hd rows = (2+2)*8 = 32
+    qkv = r0['transformer.layers.0.attention.qkv.weight']
+    assert qkv.dtype == np.int8 and qkv.shape == (32, 32 // 2)  # [in,out/2]
+    sc = r0['transformer.layers.0.attention.qkv.per_channel_scale']
+    assert sc.shape == (32,)
+    # unpack + dequant == int4 per-channel RTN of the sharded fp weight
+    lo = (qkv.astype(np.int8) << 4) >> 4   # sign-extend low nibble
+    hi = qkv.astype(np.int8) >> 4
+    codes = np.empty((qkv.shape[0], 32), np.int8)
+    codes[:, 0::2] = lo
+    codes[:, 1::2] = hi
+    a = model.params['blocks'][0]['self_attn']
+    H, KVH, hd = 4, 2, 8
+    q = np.asarray(a['q_proj']['w']).reshape(H, hd, -1)[:2].reshape(16, -1)
+    k = np.asarray(a['k_proj']['w']).reshape(KVH, hd, -1)[:1].reshape(8, -1)
+    v = np.asarray(a['v_proj']['w']).reshape(KVH, hd, -1)[:1].reshape(8, -1)
+    w = np.concatenate([q, k, v], 0)
+    import jax.numpy as jnp
+    from llmc_tpu.quant.qspec import QuantSpec
+    from llmc_tpu.quant.quantizer import real_quant_weight
+    exp_codes, exp_sc, _ = real_quant_weight(
+        QuantSpec(bit=4, symmetric=True, granularity='per_channel'),
+        jnp.asarray(w))
+    np.testing.assert_array_equal(codes.T, np.asarray(exp_codes))
+    np.testing.assert_allclose(sc, np.asarray(exp_sc).ravel(), rtol=1e-3)
+    # lm_head excluded from quantization, vocab-sharded fp16
+    assert r0['lm_head.weight'].dtype == np.float16
+    assert r0['lm_head.weight'].shape == (32, 32)
+    assert 'transformer.vocab_embedding.weight' in r1
