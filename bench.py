@@ -55,7 +55,7 @@ def main():
 
     wspec = QuantSpec(bit=4, symmetric=True, granularity='per_group',
                       group_size=128 if not SMALL else 64)
-    model, qmap = random_packed_llama(cfg, wspec)
+    model, qmap = random_packed_llama(cfg, wspec, fuse=True)
     policy = KVCachePolicy(method='fp')
     params = model.params
     stacked = stack_block_params(params['blocks'])

@@ -226,9 +226,35 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
                 blk = set_path(blk, path, lin)
             self.model.set_block(b, blk)
 
+    def act_pseudo_entries(self) -> Dict:
+        """Quantized-attention / act-fn policies (reference attn_utils
+        LlmcMatmul/LlmcSoftmax + LlmcActFn, module_utils.py:194-217,
+        base:113-131): pseudo-paths the graphs query inside attention —
+        '<pfx>.matmul_1' quantizes q and k, '<pfx>.matmul_2' probs and v,
+        '<pfx>.softmax' the softmax input, '<mlp>.act_fn' the activation
+        input."""
+        e = {}
+        if not (self.quant_attn or self.quant_act_fn) or self.aspec is None:
+            return e
+        qc = LinearQcfg(a_spec=self.aspec)
+        pfx = self.layout.linears[0].split('.')[0] \
+            if '.' in self.layout.linears[0] else 'attention'
+        if self.quant_attn:
+            e[f'{pfx}.matmul_1'] = qc
+            e[f'{pfx}.matmul_2'] = qc
+            if self.quant_softmax:
+                e[f'{pfx}.softmax'] = qc
+        if self.quant_act_fn:
+            has_mlp = any(p.startswith('mlp.')
+                          for p in self.layout.linears)
+            e['mlp.act_fn' if has_mlp else 'act_fn'] = qc
+        return e
+
     def fake_quant_qmap(self, block_idx: int) -> QMap:
-        return QMap({p: self.fake_quant_qcfg(block_idx, p)
-                     for p in self.layout.linears})
+        entries = {p: self.fake_quant_qcfg(block_idx, p)
+                   for p in self.layout.linears}
+        entries.update(self.act_pseudo_entries())
+        return QMap(entries)
 
     # ------------------------------------------------------------------
     # block forward / capture
@@ -357,6 +383,7 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
                     qc = self.fake_quant_qcfg(b, p)
                     entries[p] = qc  # same policy every block; per-block
                     # ignore handled via baked weights below
+            entries.update(self.act_pseudo_entries())
             qmap = QMap(entries)
         else:
             raise ValueError(f'unknown quant_format {quant_format!r}')

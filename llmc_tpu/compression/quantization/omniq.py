@@ -114,6 +114,17 @@ class OmniQuant(BaseBlockwiseQuantization):
                 if loaded is not None:
                     s0 = jnp.asarray(loaded, F32)
                 theta['let'][ss.name] = {'scale': s0}
+            # learnable q/k smoothing (qkt_smooth_scale, omniq.py:329-339,
+            # 659-674): q rows /= s, k rows *= s — exact on q·kᵀ; only
+            # when q/k shapes match (no GQA)
+            try:
+                qw = get_path(block, 'self_attn.q_proj')['w']
+                kw_ = get_path(block, 'self_attn.k_proj')['w']
+                if qw.shape == kw_.shape:
+                    theta['let']['qkt'] = {'scale': jnp.ones(
+                        (qw.shape[0],), F32)}
+            except (KeyError, TypeError):
+                pass
         return theta
 
     # ------------------------------------------------------------------
@@ -123,6 +134,19 @@ class OmniQuant(BaseBlockwiseQuantization):
             s = jnp.where(jnp.abs(s) < 1e-2, 1e-2 * jnp.sign(s) +
                           (s == 0) * 1e-2, s)
             return s
+        qkt = theta['let'].get('qkt')
+        if qkt is not None:
+            s = trunc(qkt['scale']) if truncate else qkt['scale']
+            q = dict(get_path(block, 'self_attn.q_proj'))
+            k = dict(get_path(block, 'self_attn.k_proj'))
+            q['w'] = q['w'] / s[:, None].astype(q['w'].dtype)
+            if q.get('b') is not None:
+                q['b'] = q['b'] / s.astype(q['b'].dtype)
+            k['w'] = k['w'] * s[:, None].astype(k['w'].dtype)
+            if k.get('b') is not None:
+                k['b'] = k['b'] * s.astype(k['b'].dtype)
+            block = set_path(block, 'self_attn.q_proj', q)
+            block = set_path(block, 'self_attn.k_proj', k)
         for ss in self.layout.subsets:
             let = theta['let'].get(ss.name)
             if let is None:

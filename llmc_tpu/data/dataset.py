@@ -44,7 +44,7 @@ class CalibDataset:
 
     # --- sources --------------------------------------------------------
     def _build(self):
-        if self.name in ('synthetic', 'synthetic_vlm'):
+        if self.name in ('synthetic', 'synthetic_vlm', 'synthetic_img'):
             return None  # generated directly in get_calib_dataset
         if self.name == 'custom_txt':
             return self._load_custom_txt(self.path)
@@ -103,6 +103,14 @@ class CalibDataset:
                 batches.append({'input_ids': ids.astype(np.int32),
                                 'pixel_values': px.astype(np.float32)})
             return batches, None
+        if self.name == 'synthetic_img':
+            # vision-only batches (ViT calib; reference img preprocs)
+            rng = np.random.RandomState(self.seed + rank)
+            img_size = int(self.cfg.get('image_size', 32))
+            chans = int(self.cfg.get('num_channels', 3))
+            return [{'pixel_values': rng.randn(1, chans, img_size,
+                                               img_size).astype(np.float32)}
+                    for _ in range(self.n_samples)], None
         if self.name == 'synthetic':
             rng = np.random.RandomState(self.seed + rank)
             vocab = int(self.cfg.get('vocab_size', 32000))

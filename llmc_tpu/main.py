@@ -88,7 +88,8 @@ def run_pipeline(config: Dict) -> Dict:
         if calib_cfg and mcfg.get('method') != 'Dense':
             dataset = CalibDataset(calib_cfg, model.tokenizer)
             batches, padding_mask = dataset.get_calib_dataset()
-            jb = [dict(b, input_ids=jnp.asarray(b['input_ids']))
+            jb = [dict(b, **({'input_ids': jnp.asarray(b['input_ids'])}
+                             if 'input_ids' in b else {}))
                   for b in batches]
             xs, kws = model.collect_first_block_input(jb)
             inputs = {'data': xs, 'kwargs': kws}

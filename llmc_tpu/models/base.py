@@ -135,6 +135,17 @@ def linear_apply(p: Dict, x: jax.Array,
     return y
 
 
+def attn_act_fq(qmap, path: str, t: jax.Array) -> jax.Array:
+    """Fake-quantize an attention-internal tensor when the QMap carries a
+    pseudo-path policy for it ('self_attn.matmul_1' etc) — the functional
+    form of the reference's LlmcMatmul/LlmcSoftmax/LlmcActFn wrappers
+    (attn_utils.py:7-39, module_utils.py:194-217)."""
+    qc = qmap.get(path) if qmap is not None else None
+    if qc is None or qc.a_spec is None:
+        return t
+    return fake_quant_act(qc.a_spec, t)
+
+
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(F32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)

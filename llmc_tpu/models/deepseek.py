@@ -159,9 +159,14 @@ def mla_apply(p: Dict, cfg: DeepseekConfig, x, cos, sin, attn_bias,
 
     qh = jnp.concatenate([q_nope, q_pe], axis=-1)
     kh = jnp.concatenate([k_nope, k_pe], axis=-1)
+    # quantized attention (reference LlmcDeepseekAttention analog)
+    from .base import attn_act_fq
+    qh = attn_act_fq(qmap, 'self_attn.matmul_1', qh)
+    kh = attn_act_fq(qmap, 'self_attn.matmul_1', kh)
     scale = (dn + dr) ** -0.5
     scores = jnp.einsum('bqhd,bkhd->bhqk', qh, kh,
                         preferred_element_type=F32) * scale
+    scores = attn_act_fq(qmap, 'self_attn.softmax', scores)
     if attn_bias is not None:
         scores = scores + attn_bias.astype(F32)
     else:
@@ -169,6 +174,8 @@ def mla_apply(p: Dict, cfg: DeepseekConfig, x, cos, sin, attn_bias,
         ki = jnp.arange(S)[None, :]
         scores = jnp.where(qi >= ki, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    probs = attn_act_fq(qmap, 'self_attn.matmul_2', probs)
+    v = attn_act_fq(qmap, 'self_attn.matmul_2', v)
     ctx = jnp.einsum('bhqk,bkhd->bqhd', probs, v,
                      preferred_element_type=F32).astype(x.dtype)
     o_in = ctx.reshape(B, S, H * dv)

@@ -211,10 +211,17 @@ def attention_apply(p: Dict, cfg: LlamaConfig, x: jax.Array,
         rep = H // KVH
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
+    # quantized-attention policies (LlmcMatmul analog): matmul_1 fq's
+    # q and k, matmul_2 probs and v, softmax its input
+    from .base import attn_act_fq
+    q = attn_act_fq(qmap, f'{prefix}.matmul_1', q)
+    k = attn_act_fq(qmap, f'{prefix}.matmul_1', k)
     qs = cfg.query_pre_attn_scalar
     scale = 1.0 / ((qs if qs else hd) ** 0.5)
     scores = jnp.einsum('bqhd,bkhd->bhqk', q, k,
                         preferred_element_type=F32) * scale
+    # softmax-input quant happens pre-mask (masked lanes are -inf)
+    scores = attn_act_fq(qmap, f'{prefix}.softmax', scores)
     cap = cfg.attn_logit_softcap
     if cap:
         scores = cap * jnp.tanh(scores / cap)
@@ -238,6 +245,8 @@ def attention_apply(p: Dict, cfg: LlamaConfig, x: jax.Array,
             keep = keep & (q_pos - k_pos < window)
         scores = jnp.where(keep, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    probs = attn_act_fq(qmap, f'{prefix}.matmul_2', probs)
+    v = attn_act_fq(qmap, f'{prefix}.matmul_2', v)
     ctx = jnp.einsum('bhqk,bkhd->bqhd', probs, v,
                      preferred_element_type=F32).astype(x.dtype)
     o_in = ctx.reshape(B, S, H * hd)
@@ -261,12 +270,15 @@ def mlp_apply(p: Dict, x: jax.Array, qmap=None, prefix: str = 'mlp',
               act: str = 'silu'):
     """Gated MLP (SwiGLU / GeGLU-tanh), or plain up->act->down when the
     params carry no gate (Starcoder/Phi/Bloom).  Returns (out, down_in)."""
+    from .base import attn_act_fq
     u = linear_apply(p['up_proj'], x, _qc(qmap, f'{prefix}.up_proj'))
     if 'gate_proj' in p:
         g = linear_apply(p['gate_proj'], x,
                          _qc(qmap, f'{prefix}.gate_proj'))
+        g = attn_act_fq(qmap, f'{prefix}.act_fn', g)
         down_in = _act(g.astype(F32), act).astype(x.dtype) * u
     else:
+        u = attn_act_fq(qmap, f'{prefix}.act_fn', u)
         down_in = _act(u.astype(F32), act).astype(x.dtype)
     out = linear_apply(p['down_proj'], down_in,
                        _qc(qmap, f'{prefix}.down_proj'))

@@ -93,9 +93,18 @@ def attention_apply(p: Dict, cfg: VitConfig, h, qmap=None):
     k = linear_apply(p['key'], h, qc('attention.key')).reshape(B, S, H, hd)
     v = linear_apply(p['value'], h, qc('attention.value')).reshape(
         B, S, H, hd)
+    # quantized attention (reference LlmcViTSelfAttention,
+    # attn_utils.py:42-106): matmul_1 fq's q/k, softmax its input,
+    # matmul_2 probs/v
+    from .base import attn_act_fq
+    q = attn_act_fq(qmap, 'attention.matmul_1', q)
+    k = attn_act_fq(qmap, 'attention.matmul_1', k)
     scores = jnp.einsum('bqhd,bkhd->bhqk', q, k,
                         preferred_element_type=F32) / (hd ** 0.5)
+    scores = attn_act_fq(qmap, 'attention.softmax', scores)
     probs = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+    probs = attn_act_fq(qmap, 'attention.matmul_2', probs)
+    v = attn_act_fq(qmap, 'attention.matmul_2', v)
     ctx = jnp.einsum('bhqk,bkhd->bqhd', probs, v,
                      preferred_element_type=F32).astype(h.dtype)
     o_in = ctx.reshape(B, S, D)
@@ -119,6 +128,8 @@ def block_apply(bp: Dict, cfg: VitConfig, x, qmap=None, capture=False):
         caps['fc1_in'] = h
     f1 = linear_apply(bp['intermediate'], h,
                       qmap.get('intermediate') if qmap else None)
+    from .base import attn_act_fq
+    f1 = attn_act_fq(qmap, 'act_fn', f1)  # LlmcActFn analog
     f1 = jax.nn.gelu(f1.astype(F32), approximate=False).astype(x.dtype)
     if capture:
         caps['fc2_in'] = f1

@@ -41,6 +41,11 @@ class QMeta:
     symmetric: bool = False
     out_features: int = 0
     in_features: int = 0
+    # pre_t: scales/zeros are stored pre-transposed [ng, N] with the
+    # zero term pre-folded (zs = s * z_eff).  Saves a [N, ng] transpose
+    # + multiply per call — inside a decode scan that transpose re-runs
+    # every step for every matmul (~0.14 ms/step on 7B)
+    pre_t: bool = False
 
 
 # --------------------------------------------------------------------------
@@ -75,6 +80,19 @@ def pack_weight(codes: jax.Array, scales: jax.Array,
     s = scales.reshape(N, -1).astype(F32)
     z = zeros.reshape(N, -1).astype(F32) if zeros is not None else None
     return packed, s, z
+
+
+def pack_scales_t(scales: jax.Array, zeros: Optional[jax.Array],
+                  meta: QMeta) -> Tuple[jax.Array, jax.Array]:
+    """Pre-transpose + fold scale/zero terms for the ``pre_t`` fast
+    path: returns (s_t [ng, N], zs_t [ng, N]) with zs = s * z_eff and
+    z_eff including the excess-8 offset of symmetric storage."""
+    N = scales.shape[0]
+    s = scales.reshape(N, -1).astype(F32)
+    z = (zeros.reshape(N, -1).astype(F32) if zeros is not None
+         else jnp.zeros_like(s))
+    z_eff = z + 8.0 if meta.symmetric else z
+    return s.T, (s * z_eff).T
 
 
 def unpack_weight_xla(packed: jax.Array, meta: QMeta) -> jax.Array:
@@ -224,7 +242,11 @@ def _choose_w4_tiles(N: int, tm: int, gs: int, ng: int):
             stile = 2 * (2 * p) * t * 4       # s3 + z3 blocks
             otile = tm * t * 2                # bf16 out
             parts = 3 * tm * t * 4            # acc + part0/1 f32
-            if 2 * (wtile + xtile + stile) + 2 * otile + parts > budget:
+            dec = 3 * t * gs                  # nibble-decode temporaries
+            # (fit to Mosaic's measured stack: ~2.5B/packed-byte live at
+            # once — t=5504 +1.96M, t=22016 +6.5M over the base model)
+            if (2 * (wtile + xtile + stile) + 2 * otile + parts
+                    + dec > budget):
                 continue
             cells = (N // t) * (npairs // p)
             score = (cells, -wtile)
@@ -264,10 +286,15 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
             pairs, span, gsl = 1, gs, gs // 2
         n_k = K // span
         spg = max(ng // n_k, 1)
-        # pre-transpose to [n_k, spg, N]; fold z_eff into zs = s*z_eff
-        z_eff = z + 8.0 if sym else z  # excess-8 storage offset
-        s3 = scales.reshape(N, n_k, spg).transpose(1, 2, 0)
-        z3 = (scales * z_eff).reshape(N, n_k, spg).transpose(1, 2, 0)
+        if meta.pre_t:
+            # scales/zeros arrive [ng, N] pre-folded: reshape is free
+            s3 = scales.reshape(n_k, spg, N)
+            z3 = z.reshape(n_k, spg, N)
+        else:
+            # pre-transpose to [n_k, spg, N]; fold z_eff into zs=s*z_eff
+            z_eff = z + 8.0 if sym else z  # excess-8 storage offset
+            s3 = scales.reshape(N, n_k, spg).transpose(1, 2, 0)
+            z3 = (scales * z_eff).reshape(N, n_k, spg).transpose(1, 2, 0)
         kernel = functools.partial(_kernel_w4, n_k=n_k,
                                    single_group=(ng == 1), pairs=pairs,
                                    gs=gsl)
@@ -331,5 +358,12 @@ def dequant_matmul(x, packed, scales, zeros, meta: QMeta,
     if use_pallas:
         y = dequant_matmul_pallas(x2, packed, scales, zeros, meta)
     else:
-        y = _dequant_matmul_xla(x2, packed, scales, zeros, meta)
+        if meta.pre_t:  # undo the [ng, N] fold for the reference path
+            s = scales.T
+            z_eff = zeros.T / jnp.clip(s, 1e-9, None)
+            z = z_eff - 8.0 if meta.symmetric else z_eff
+            meta = dataclasses.replace(meta, pre_t=False)
+            y = _dequant_matmul_xla(x2, packed, s, z, meta)
+        else:
+            y = _dequant_matmul_xla(x2, packed, scales, zeros, meta)
     return y.reshape(*lead, -1)

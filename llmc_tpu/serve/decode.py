@@ -34,12 +34,18 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
 
     def qc(path):
         return qmap.get(path) if qmap is not None else None
-    q = linear_apply(p['q_proj'], h, qc('self_attn.q_proj')).reshape(
-        B, S, H, hd)
-    k = linear_apply(p['k_proj'], h, qc('self_attn.k_proj')).reshape(
-        B, S, KVH, hd)
-    v = linear_apply(p['v_proj'], h, qc('self_attn.v_proj')).reshape(
-        B, S, KVH, hd)
+    if 'qkv_proj' in p:  # fused serving layout: one kernel launch
+        qkv = linear_apply(p['qkv_proj'], h, qc('self_attn.qkv_proj'))
+        q = qkv[..., :H * hd].reshape(B, S, H, hd)
+        k = qkv[..., H * hd:(H + KVH) * hd].reshape(B, S, KVH, hd)
+        v = qkv[..., (H + KVH) * hd:].reshape(B, S, KVH, hd)
+    else:
+        q = linear_apply(p['q_proj'], h, qc('self_attn.q_proj')).reshape(
+            B, S, H, hd)
+        k = linear_apply(p['k_proj'], h, qc('self_attn.k_proj')).reshape(
+            B, S, KVH, hd)
+        v = linear_apply(p['v_proj'], h, qc('self_attn.v_proj')).reshape(
+            B, S, KVH, hd)
     if cfg.use_qk_norm:
         q = rms_norm(q, p['q_norm']['w'], cfg.rms_norm_eps)
         k = rms_norm(k, p['k_norm']['w'], cfg.rms_norm_eps)
@@ -68,7 +74,16 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
                             qc('self_attn.o_proj'))
     x = x + attn_out
     h = rms_norm(x, bp['post_attention_layernorm']['w'], cfg.rms_norm_eps)
-    mlp_out, _ = L.mlp_apply(bp['mlp'], h, qmap)
+    mp = bp['mlp']
+    if 'gate_up_proj' in mp:  # fused serving layout
+        gu = linear_apply(mp['gate_up_proj'], h, qc('mlp.gate_up_proj'))
+        I = gu.shape[-1] // 2
+        down_in = (jax.nn.silu(gu[..., :I].astype(F32)).astype(x.dtype)
+                   * gu[..., I:])
+        mlp_out = linear_apply(mp['down_proj'], down_in,
+                               qc('mlp.down_proj'))
+    else:
+        mlp_out, _ = L.mlp_apply(mp, h, qmap)
     return x + mlp_out, cache
 
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..models.adapter import QMap
 from ..models.base import LinearQcfg, get_path, set_path
-from ..ops.dequant_matmul import QMeta, pack_weight
+from ..ops.dequant_matmul import QMeta, pack_scales_t, pack_weight
 from ..quant.qspec import QuantSpec
 from ..quant.quantizer import real_quant_weight
 
@@ -40,21 +40,39 @@ def _linear_dims(cfg):
 
 
 def packed_qmap(cfg, wspec: QuantSpec,
-                a_spec: Optional[QuantSpec] = None) -> QMap:
-    """QMap whose entries carry per-layer QMeta for the kernel path."""
+                a_spec: Optional[QuantSpec] = None,
+                fuse: bool = False, pre_t: bool = False) -> QMap:
+    """QMap whose entries carry per-layer QMeta for the kernel path.
+    ``fuse`` adds entries for the concatenated qkv_proj / gate_up_proj
+    serving layout; ``pre_t`` marks pre-transposed scale storage."""
     gs = wspec.group_size if wspec.granularity == 'per_group' else 0
+    pre_t = pre_t and int(wspec.bit) == 4
+    dims = dict(_linear_dims(cfg))
+    if fuse:
+        D = cfg.hidden_size
+        H, KVH, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                      cfg.head_dim)
+        I = cfg.intermediate_size
+        dims['self_attn.qkv_proj'] = ((H + 2 * KVH) * hd, D)
+        dims['mlp.gate_up_proj'] = (2 * I, D)
     entries = {}
-    for path, (out_f, in_f) in _linear_dims(cfg).items():
+    for path, (out_f, in_f) in dims.items():
         meta = QMeta(bits=int(wspec.bit), group_size=gs or in_f,
                      symmetric=wspec.symmetric,
-                     out_features=out_f, in_features=in_f)
+                     out_features=out_f, in_features=in_f, pre_t=pre_t)
         entries[path] = LinearQcfg(w_packed=True, qmeta=meta,
                                    a_spec=a_spec)
     return QMap(entries)
 
 
-def pack_block(block: Dict, cfg, wspec: QuantSpec, layout) -> Dict:
-    """Replace each linear's fp weight with packed codes+scales."""
+def pack_block(block: Dict, cfg, wspec: QuantSpec, layout,
+               fuse: bool = False, pre_t: bool = False) -> Dict:
+    """Replace each linear's fp weight with packed codes+scales.
+    ``pre_t`` stores scales/zeros pre-transposed [ng, N] (zs folded);
+    ``fuse`` merges q/k/v -> qkv_proj and gate/up -> gate_up_proj (one
+    kernel launch each at decode; row-wise packing makes the merge a
+    plain concat along N)."""
+    pre_t = pre_t and int(wspec.bit) == 4
     for path in layout.linears:
         lin = get_path(block, path)
         codes, scales, zeros = real_quant_weight(
@@ -68,26 +86,64 @@ def pack_block(block: Dict, cfg, wspec: QuantSpec, layout) -> Dict:
                      out_features=lin['w'].shape[0],
                      in_features=lin['w'].shape[1])
         qw, s, z = pack_weight(codes.astype(jnp.int8), scales, zeros, meta)
-        newlin = {'qweight': qw, 'scales': s, 'b': lin.get('b')}
-        if z is not None:
-            newlin['zeros'] = z
+        if pre_t:
+            st, zst = pack_scales_t(s, z, meta)
+            newlin = {'qweight': qw, 'scales': st, 'zeros': zst,
+                      'b': lin.get('b')}
+        else:
+            newlin = {'qweight': qw, 'scales': s, 'b': lin.get('b')}
+            if z is not None:
+                newlin['zeros'] = z
         block = set_path(block, path, newlin)
+    if fuse:
+        block = fuse_packed_block(block)
+    return block
+
+
+def _concat_packed(lins, axis_n=0):
+    out = {'qweight': jnp.concatenate([l['qweight'] for l in lins], 0)}
+    # pre_t scales [ng, N] concat on N (axis 1); legacy [N, ng] on 0
+    sa = 1 if lins[0]['scales'].shape[1] == lins[0]['qweight'].shape[0] \
+        else 0
+    out['scales'] = jnp.concatenate([l['scales'] for l in lins], sa)
+    if 'zeros' in lins[0]:
+        out['zeros'] = jnp.concatenate([l['zeros'] for l in lins], sa)
+    bs = [l.get('b') for l in lins]
+    out['b'] = (jnp.concatenate(bs, 0) if all(b is not None for b in bs)
+                else None)
+    return out
+
+
+def fuse_packed_block(block: Dict) -> Dict:
+    """Merge packed q/k/v and gate/up into single serving linears."""
+    a = block.get('self_attn', {})
+    if all(k in a for k in ('q_proj', 'k_proj', 'v_proj')):
+        a = dict(a)
+        a['qkv_proj'] = _concat_packed([a.pop('q_proj'), a.pop('k_proj'),
+                                        a.pop('v_proj')])
+        block = dict(block, self_attn=a)
+    m = block.get('mlp', {})
+    if 'gate_proj' in m and 'up_proj' in m:
+        m = dict(m)
+        m['gate_up_proj'] = _concat_packed([m.pop('gate_proj'),
+                                            m.pop('up_proj')])
+        block = dict(block, mlp=m)
     return block
 
 
 def pack_model(model, wspec: QuantSpec,
-               a_spec: Optional[QuantSpec] = None) -> QMap:
+               a_spec: Optional[QuantSpec] = None,
+               fuse: bool = False, pre_t: bool = True) -> QMap:
     """In-place: pack every block's linears; returns the serving QMap."""
     layout = model.get_layout()
-    fn = jax.jit(lambda blk: pack_block(blk, model.cfg, wspec, layout))
     for i in range(model.n_blocks):
         model.set_block(i, pack_block(model.blocks[i], model.cfg, wspec,
-                                      layout))
-    del fn
-    return packed_qmap(model.cfg, wspec, a_spec)
+                                      layout, fuse=fuse, pre_t=pre_t))
+    return packed_qmap(model.cfg, wspec, a_spec, fuse=fuse, pre_t=pre_t)
 
 
-def random_packed_llama(cfg, wspec: QuantSpec, seed: int = 0):
+def random_packed_llama(cfg, wspec: QuantSpec, seed: int = 0,
+                        fuse: bool = False, pre_t: bool = True):
     """Build a Llama adapter whose linears are random packed int4/int8 —
     for serving/bench without materializing fp weights."""
     from ..models.adapter import LlamaAdapter
@@ -95,6 +151,7 @@ def random_packed_llama(cfg, wspec: QuantSpec, seed: int = 0):
     D = cfg.hidden_size
     dims = _linear_dims(cfg)
     gs = wspec.group_size if wspec.granularity == 'per_group' else None
+    pre_t = pre_t and int(wspec.bit) == 4
 
     def packed_lin(out_f, in_f, k):
         k1, k2 = jax.random.split(k)
@@ -102,6 +159,12 @@ def random_packed_llama(cfg, wspec: QuantSpec, seed: int = 0):
         qw = jax.random.randint(k1, (out_f, in_f // kdiv), -128, 128,
                                 jnp.int8)
         ng = in_f // (gs or in_f)
+        if pre_t:
+            scales = jnp.full((ng, out_f), 0.008, F32)
+            return {'qweight': qw, 'scales': scales,
+                    'zeros': jnp.zeros((ng, out_f), F32)
+                    if wspec.symmetric is False else
+                    jnp.full((ng, out_f), 0.008 * 8.0, F32), 'b': None}
         scales = jnp.full((out_f, ng), 0.008, F32)
         return {'qweight': qw, 'scales': scales, 'b': None}
 
@@ -116,6 +179,8 @@ def random_packed_llama(cfg, wspec: QuantSpec, seed: int = 0):
         for (path, (out_f, in_f)), bk in zip(dims.items(), bkeys):
             comp, lname = path.split('.')
             blk[comp][lname] = packed_lin(out_f, in_f, bk)
+        if fuse:
+            blk = fuse_packed_block(blk)
         blocks.append(blk)
     params = {
         'embed_tokens': {'w': (jax.random.normal(
@@ -126,4 +191,5 @@ def random_packed_llama(cfg, wspec: QuantSpec, seed: int = 0):
             keys[-1], (cfg.vocab_size, D), F32) * 0.02).astype(cfg.jdtype),
             'b': None},
     }
-    return LlamaAdapter(cfg, params), packed_qmap(cfg, wspec)
+    return LlamaAdapter(cfg, params), packed_qmap(cfg, wspec, fuse=fuse,
+                                                  pre_t=pre_t)

@@ -107,3 +107,61 @@ def test_packed_serving_engine_cpu_fallback():
                     max_new_tokens=5) for i in range(3)]
     eng.run(reqs)
     assert all(r.done and len(r.output_ids) == 5 for r in reqs)
+
+
+@pytest.mark.parametrize('sym', [True, False])
+def test_pre_t_matches_legacy(sym):
+    """Pre-transposed folded scales (serving layout) must match the
+    legacy [N, ng] layout on both the interpret-kernel and XLA paths."""
+    from llmc_tpu.ops.dequant_matmul import pack_scales_t
+    import dataclasses
+    codes, scales, zeros, packed, s, z, meta = _mk(sym=sym, N=128, K=512,
+                                                   gs=128)
+    st, zst = pack_scales_t(s, z, meta)
+    assert st.shape == (4, 128) and zst.shape == (4, 128)
+    meta_t = dataclasses.replace(meta, pre_t=True)
+    x = jnp.asarray(np.random.RandomState(3).randn(8, 512)
+                    .astype(np.float32) * 0.1)
+    ref = np.asarray(dequant_matmul(x, packed, s, z, meta,
+                                    force_xla=True))
+    got_xla = np.asarray(dequant_matmul(x, packed, st, zst, meta_t,
+                                        force_xla=True))
+    np.testing.assert_allclose(got_xla, ref, rtol=2e-5, atol=1e-5)
+    legacy = np.asarray(dequant_matmul_pallas(
+        x.astype(jnp.bfloat16), packed, s, z, meta, tm=16, tn=128,
+        interpret=True))
+    got = np.asarray(dequant_matmul_pallas(
+        x.astype(jnp.bfloat16), packed, st, zst, meta_t, tm=16, tn=128,
+        interpret=True))
+    np.testing.assert_allclose(got.astype(np.float32),
+                               legacy.astype(np.float32), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_fused_packed_decode_matches_unfused():
+    """qkv/gate_up fusion + pre_t serving layout: greedy decode tokens
+    must match the unfused packed model exactly."""
+    import numpy as np
+    from llmc_tpu.models import LlamaConfig
+    from llmc_tpu.quant import QuantSpec
+    from llmc_tpu.serve.decode import greedy_generate
+    from llmc_tpu.serve.packed import pack_model
+    from llmc_tpu.models import LlamaAdapter
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      head_dim=16, dtype='float32')
+    wspec = QuantSpec(bit=4, symmetric=True, granularity='per_group',
+                      group_size=32)
+    ids = np.random.RandomState(0).randint(0, 128, (1, 6))
+    m1 = LlamaAdapter.random(cfg, seed=0)
+    q1 = pack_model(m1, wspec, fuse=False, pre_t=False)
+    out1 = greedy_generate(m1, jnp.asarray(ids), max_new_tokens=6,
+                           qmap=q1)
+    m2 = LlamaAdapter.random(cfg, seed=0)
+    q2 = pack_model(m2, wspec, fuse=True, pre_t=True)
+    assert 'qkv_proj' in m2.blocks[0]['self_attn']
+    assert 'gate_up_proj' in m2.blocks[0]['mlp']
+    out2 = greedy_generate(m2, jnp.asarray(ids), max_new_tokens=6,
+                           qmap=q2)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))

@@ -98,3 +98,49 @@ def test_spqr_mask_nonempty():
     assert 'spqr_mask' in new
     frac = float(np.asarray(new['spqr_mask']).mean())
     assert 0 < frac < 0.5
+
+
+def test_omniquant_qkt_smoothing_exact_on_qkt():
+    """qkt_smooth_scale (reference omniq.py:329-339,659-674): scaling q
+    rows down and k rows up by s must leave q·kᵀ (pre-rope) unchanged,
+    and the learnable enters theta when shapes match."""
+    import jax
+    import jax.numpy as jnp
+    from llmc_tpu.utils import ALGO_REGISTRY, Cfg
+    import llmc_tpu.compression  # noqa: F401
+    from llmc_tpu.models import build_model
+    raw = tiny_config('OmniQuant', wbit=4,
+                      special={'let': True, 'lwc': False, 'epochs': 1})
+    raw['model']['arch']['num_key_value_heads'] = \
+        raw['model']['arch']['num_attention_heads']  # qkt needs q==k dims
+    cfg = Cfg(raw)
+    model = build_model(cfg)
+    algo = ALGO_REGISTRY['OmniQuant'](model, cfg['quant'],
+                                      {'data': [], 'kwargs': []}, None,
+                                      cfg)
+    blk = model.blocks[0]
+    from llmc_tpu.models.base import get_path as _gp
+    rng = np.random.RandomState(0)
+    feats = {}
+    for ss in algo.layout.subsets:
+        width = _gp(blk, ss.layers[0])['w'].shape[1]
+        feats[ss.input_key] = [jnp.asarray(
+            rng.randn(1, 3, width).astype(np.float32))]
+    x = np.asarray(feats['qkv_in'][0][0])
+    theta = algo._init_theta(0, blk, feats)
+    assert 'qkt' in theta['let']
+    s = jnp.asarray(1.0 + np.random.RandomState(1).rand(
+        theta['let']['qkt']['scale'].shape[0]).astype(np.float32))
+    theta['let']['qkt']['scale'] = s
+    theta['let'] = {'qkt': theta['let']['qkt']}  # isolate qkt
+    theta['lwc'] = {}
+    newblk = algo._apply_theta(blk, theta, truncate=False)
+    from llmc_tpu.models.base import get_path
+    q0, k0 = (get_path(blk, 'self_attn.q_proj'),
+              get_path(blk, 'self_attn.k_proj'))
+    q1, k1 = (get_path(newblk, 'self_attn.q_proj'),
+              get_path(newblk, 'self_attn.k_proj'))
+    qk0 = (x @ np.asarray(q0['w']).T) @ (x @ np.asarray(k0['w']).T).T
+    qk1 = (x @ np.asarray(q1['w']).T) @ (x @ np.asarray(k1['w']).T).T
+    np.testing.assert_allclose(qk1, qk0, rtol=1e-4, atol=1e-4)
+    assert not np.allclose(np.asarray(q1['w']), np.asarray(q0['w']))

@@ -49,3 +49,52 @@ def test_vit_quant_accuracy_eval(tiny_vit_dir):
     wspec = QuantSpec(bit=8, symmetric=True, granularity='per_channel')
     qmap = QMap({}, default=LinearQcfg(w_spec=wspec))
     assert acc.eval(ours, qmap=qmap) >= 0.7  # int8 barely changes argmax
+
+
+def test_vit_quantized_attention(tiny_vit_dir):
+    """quant_attn / quant_softmax / quant_act_fn (reference attn_utils
+    LlmcMatmul/LlmcSoftmax + LlmcActFn): pseudo-path policies must reach
+    the attention internals — a crushingly coarse act spec must change
+    the logits, while an empty pseudo map must not."""
+    path, _ = tiny_vit_dir
+    from llmc_tpu.models.adapter import VitAdapter
+    from llmc_tpu.models import LinearQcfg, QMap
+    from llmc_tpu.quant import QuantSpec
+    ours = VitAdapter.from_pretrained(path)
+    rng = np.random.RandomState(2)
+    px = jnp.asarray(rng.randn(2, 3, 32, 32).astype(np.float32))
+    base = np.asarray(ours.classify(px))
+    coarse = QuantSpec(bit=2, symmetric=True, granularity='per_tensor')
+    qc = LinearQcfg(a_spec=coarse)
+    for pseudo in ('attention.matmul_1', 'attention.matmul_2',
+                   'attention.softmax', 'act_fn'):
+        got = np.asarray(ours.classify(px, qmap=QMap({pseudo: qc})))
+        assert not np.allclose(got, base), pseudo
+    same = np.asarray(ours.classify(px, qmap=QMap({})))
+    np.testing.assert_allclose(same, base)
+
+
+def test_blockwise_act_pseudo_entries(tiny_vit_dir):
+    """RTN with act.quant_attn/quant_softmax/quant_act_fn exposes the
+    pseudo-paths in the deployed QMap."""
+    path, _ = tiny_vit_dir
+    from llmc_tpu.models.adapter import VitAdapter
+    from llmc_tpu.utils import ALGO_REGISTRY, Cfg
+    import llmc_tpu.compression  # noqa: F401
+    ours = VitAdapter.from_pretrained(path)
+    cfg = Cfg({'model': {'type': 'Vit', 'path': path},
+               'quant': {'method': 'RTN',
+                         'weight': {'bit': 8, 'symmetric': True,
+                                    'granularity': 'per_channel'},
+                         'act': {'bit': 8, 'symmetric': True,
+                                 'granularity': 'per_tensor',
+                                 'quant_attn': True,
+                                 'quant_softmax': True,
+                                 'quant_act_fn': True}}})
+    algo = ALGO_REGISTRY['RTN'](ours, cfg['quant'],
+                                {'data': [], 'kwargs': []}, None, cfg)
+    qmap = algo.deploy('fake_quant')
+    for pseudo in ('attention.matmul_1', 'attention.matmul_2',
+                   'attention.softmax', 'act_fn'):
+        assert qmap.get(pseudo) is not None, pseudo
+        assert qmap.get(pseudo).a_spec is not None
