@@ -60,11 +60,6 @@ class GPTQ(BaseBlockwiseQuantization):
     def check_special(cls, sp):
         """Construct-free option validation (run by the CLI's fail-fast
         stage before any heavy work)."""
-        # TODO(round 2): static_groups+actorder needs original-column group
-        # qparams indexed through the permutation (gptq.py:225-227)
-        if sp.get('static_groups') and sp.get('actorder'):
-            raise ValueError(
-                'GPTQ: static_groups with actorder not yet supported')
         if sp.get('static_groups') and sp.get('owq'):
             raise ValueError(
                 'GPTQ: static_groups with owq not supported')
@@ -152,17 +147,43 @@ class GPTQ(BaseBlockwiseQuantization):
                     [jnp.arange(C)[keep], desc[:n_out]])
         elif self.actorder:
             perm = jnp.argsort(-jnp.diag(Hd))
+        # static_groups + actorder (gptq.py:225-227): group qparams come
+        # from the ORIGINAL column order; the loop looks each permuted
+        # column's group up through the permutation
+        static_actorder = (self.static_groups and self.actorder
+                           and self.wspec.granularity == 'per_group')
+        static_qp = perm_gidx = None
+        if static_actorder:
+            gs = self.wspec.group_size
+            sc, zr = [], []
+            for g in range(C // gs):
+                qp = self._qp_of_eager(W[:, g * gs:(g + 1) * gs])
+                sc.append(qp.scales)
+                zr.append(jnp.broadcast_to(jnp.asarray(qp.zeros, F32),
+                                           qp.scales.shape))
+            static_qp = (jnp.concatenate(sc, 1), jnp.concatenate(zr, 1))
+            perm_gidx = (perm // gs).astype(jnp.int32)
+
         if perm is not None:
             W = W[:, perm]
             Hd = Hd[perm][:, perm]
 
-        key = (oc, C, n_out)
+        key = (oc, C, n_out, static_actorder)
         if key not in self._core_cache:
             # subclasses (SpQR) override _layer_core without OWQ support
-            fn = (functools.partial(self._layer_core, n_out=n_out)
-                  if n_out else self._layer_core)
+            if static_actorder:
+                fn = functools.partial(self._layer_core,
+                                       use_perm_groups=True)
+            elif n_out:
+                fn = functools.partial(self._layer_core, n_out=n_out)
+            else:
+                fn = self._layer_core
             self._core_cache[key] = jax.jit(fn)
-        Wq, scales, zeros, mask = self._core_cache[key](W, Hd)
+        if static_actorder:
+            Wq, scales, zeros, mask = self._core_cache[key](
+                W, Hd, static_qp=static_qp, perm_gidx=perm_gidx)
+        else:
+            Wq, scales, zeros, mask = self._core_cache[key](W, Hd)
 
         if perm is not None:
             invperm = jnp.argsort(perm)
@@ -182,7 +203,17 @@ class GPTQ(BaseBlockwiseQuantization):
         return out
 
     # ------------------------------------------------------------------
-    def _layer_core(self, W, H, n_out: int = 0):
+    def _qp_of_eager(self, cols):
+        spec = self.wspec
+        if spec.calib_algo == 'mse':
+            rng = mse_range(spec.replace(granularity='per_channel'), cols)
+        else:
+            rng = minmax_range(spec.replace(granularity='per_channel'),
+                               cols)
+        return qparams_from_range(spec, rng)
+
+    def _layer_core(self, W, H, n_out: int = 0, static_qp=None,
+                    perm_gidx=None, use_perm_groups: bool = False):
         """damping + cholesky + blocked compensation.  Returns
         (compensated W, scales [oc, ng], zeros [oc, ng]|None).  With
         ``n_out`` (OWQ) the last n_out (outlier) columns are excluded
@@ -228,7 +259,7 @@ class GPTQ(BaseBlockwiseQuantization):
         # non-outlier prefix only, gptq.py:158-168)
         if spec.granularity != 'per_group':
             qp_static = qp_of(W[:, :n_nonout] if n_out else W)
-        elif self.static_groups:
+        elif self.static_groups and not use_perm_groups:
             sc, zr = [], []
             for g in range(ng):
                 qp = qp_of(W[:, g * gs:(g + 1) * gs])
@@ -253,7 +284,13 @@ class GPTQ(BaseBlockwiseQuantization):
             i1 = b * bs
             Wb = jax.lax.dynamic_slice(W, (0, i1), (oc, bs))
             Hb = jax.lax.dynamic_slice(Hinv, (i1, i1), (bs, bs))
-            if spec.granularity == 'per_group' and not self.static_groups:
+            if use_perm_groups:
+                # static_groups + actorder: each permuted column uses its
+                # ORIGINAL column's group qparams (gptq.py:225-227)
+                gcol = jax.lax.dynamic_slice(perm_gidx, (i1,), (bs,))
+                s = z = None
+            elif spec.granularity == 'per_group' and \
+                    not self.static_groups:
                 # block == group (aligned in __init__); OWQ masks the
                 # outlier tail out of the range search
                 valid = ((i1 + jnp.arange(bs))[None, :] < n_nonout
@@ -283,13 +320,21 @@ class GPTQ(BaseBlockwiseQuantization):
                 Wb, Tb, Errb = icarry
                 w = jax.lax.dynamic_slice_in_dim(Wb, i, 1, 1)  # [oc,1]
                 d = jax.lax.dynamic_slice(Hb, (i, i), (1, 1))[0, 0]
+                if use_perm_groups:
+                    g = jax.lax.dynamic_slice(gcol, (i,), (1,))[0]
+                    si = jax.lax.dynamic_slice(static_qp[0], (0, g),
+                                               (oc, 1))
+                    zi = jax.lax.dynamic_slice(static_qp[1], (0, g),
+                                               (oc, 1))
+                else:
+                    si, zi = s, z
                 if spec.round_zp:
-                    q = jnp.clip(jnp.round(w / s) + z, spec.qmin,
+                    q = jnp.clip(jnp.round(w / si) + zi, spec.qmin,
                                  spec.qmax)
                 else:
-                    q = jnp.clip(jnp.round(w / jnp.clip(s, 1e-9, None)
-                                           + z), spec.qmin, spec.qmax)
-                qdq = (q - z) * s
+                    q = jnp.clip(jnp.round(w / jnp.clip(si, 1e-9, None)
+                                           + zi), spec.qmin, spec.qmax)
+                qdq = (q - zi) * si
                 err = (w - qdq) / d            # [oc,1]
                 hrow = jax.lax.dynamic_slice_in_dim(Hb, i, 1, 0)  # [1,bs]
                 mask = (jnp.arange(bs)[None, :] > i)
@@ -317,6 +362,10 @@ class GPTQ(BaseBlockwiseQuantization):
         # tmp, gptq.py:230): 'transformed' saves stay FP-useful and
         # fake-quant deploy with the stored static qparams reproduces the
         # loop's quantization exactly.
+        if use_perm_groups:
+            # stored qparams stay in ORIGINAL group layout; deploy's qdq
+            # then needs no permutation at all (per-column independence)
+            scales_out, zeros_out = static_qp
         zeros_ret = None if (spec.symmetric and spec.round_zp) else zeros_out
         if spec.granularity != 'per_group':
             scales_ret = qp_static.scales.reshape(oc, -1)
@@ -333,6 +382,10 @@ class GPTQ(BaseBlockwiseQuantization):
         w = lin['w'].astype(F32)
         oc, C = w.shape
         perm = lin.get('perm')
+        if self.static_groups:
+            # static group qparams live on ORIGINAL columns: qdq is
+            # per-column independent, so the permutation is irrelevant
+            perm = None
         if perm is not None:
             w = w[:, perm]
         gs = spec.group_size if spec.granularity == 'per_group' else C

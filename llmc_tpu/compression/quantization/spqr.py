@@ -5,9 +5,9 @@ Reference: /root/reference/llmc/compression/quantization/spqr.py (398 LoC)
 - in-loop: err² > threshold marks FP outliers; the compensation error is
   recomputed with the outlier kept FP (:243-252)
 - group qparams are computed with detected outliers replaced by the group
-  mean (simplified path; the leave-one-out scorer of :185-205 is a
-  round-2 TODO), then scales/zeros are themselves quantized by
-  scale/zero quantizers (get_group_qparams :323-346)
+  mean; ``simplified_outliers: false`` runs the exact leave-one-out
+  scorer (:185-201) as the pre-pass, then scales/zeros are themselves
+  quantized by scale/zero quantizers (get_group_qparams :323-346)
 - deploy: static qdq of non-outliers + FP outlier add-back (w_qdq
   :367-389)
 """
@@ -65,6 +65,35 @@ class SpQR(GPTQ):
             z = jnp.zeros_like(s)
         return s, z
 
+    def _loo_scores(self, G, hd):
+        """Exact leave-one-out outlier scorer (spqr.py:185-201): for each
+        column j of the group, how much the per-row rounding error
+        (weighted by 1/diag(Hinv)) improves when j is excluded from the
+        quantization range.  Returns E [oc, gs] = BaseError - LooError."""
+        oc, gs = G.shape
+        spec = self.wspec.replace(granularity='per_channel',
+                                  round_zp=False)
+
+        def qdq_rows(X):
+            qp = qparams_from_range(spec, minmax_range(spec, X))
+            z = jnp.asarray(qp.zeros, F32)
+            s = jnp.clip(qp.scales, 1e-9, None)
+            q = jnp.clip(jnp.round(X / s + z), spec.qmin, spec.qmax)
+            return (q - z) * qp.scales
+
+        ar = jnp.arange(gs)
+        # row j = the gs-1 column indices with j removed (:186-188)
+        idx = ar[1:][None, :] - (ar[:, None] >= ar[1:][None, :]
+                                 ).astype(ar.dtype)
+        loo = G[:, idx]                                # [oc, gs, gs-1]
+        dq = qdq_rows(loo.reshape(oc * gs, gs - 1)).reshape(loo.shape)
+        loo_hd = jnp.clip(hd[idx], 1e-9, None)         # [gs, gs-1]
+        loo_err = (((dq - loo) / loo_hd[None]) ** 2).sum(-1)  # [oc, gs]
+        base_dq = qdq_rows(G)
+        base = ((((base_dq - G)) / jnp.clip(hd, 1e-9, None)[None])
+                ** 2).sum(-1, keepdims=True)
+        return base - loo_err
+
     def _layer_core(self, W, H):
         spec = self.wspec
         oc, C = W.shape
@@ -93,9 +122,16 @@ class SpQR(GPTQ):
             i1 = b * gs
             Wb = jax.lax.dynamic_slice(W, (0, i1), (oc, gs))
             Hb = jax.lax.dynamic_slice(Hinv, (i1, i1), (gs, gs))
-            # pre-pass outlier estimate for group qparams: plain err of
-            # base rounding (simplified) — mask refined in-loop
-            s, z = self._group_qparams_dq(Wb, jnp.zeros_like(Wb))
+            if finite_thr and not self.simplified_outliers:
+                # exact leave-one-out pre-pass (spqr.py:216-226): likely
+                # outliers are excluded from the group's qparam range
+                E = self._loo_scores(Wb, jnp.diag(Hb))
+                M0 = (E > thr).astype(F32)
+            else:
+                # simplified pre-pass: qparams over the full group; the
+                # mask is refined in-loop only
+                M0 = jnp.zeros_like(Wb)
+            s, z = self._group_qparams_dq(Wb, M0)
             scales_out = jax.lax.dynamic_update_slice(scales_out, s,
                                                       (0, b))
             zeros_out = jax.lax.dynamic_update_slice(zeros_out, z, (0, b))

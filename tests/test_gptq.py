@@ -113,3 +113,40 @@ def test_gptq_quant_out_pipeline():
     cfg['quant']['quant_out'] = True
     res = run(cfg)
     assert np.isfinite(res['ppl_fake_quant'])
+
+
+def test_gptq_static_groups_actorder():
+    """static_groups + actorder (gptq.py:225-227): group qparams come
+    from the original column order; the deployed qdq must quantize each
+    column with its original group's scale regardless of the loop's
+    permutation, and error-compensation must still beat plain RTN."""
+    from llmc_tpu.quant import QuantSpec, fake_quant_weight
+    algo = _make_gptq({'static_groups': True, 'actorder': True,
+                       'blocksize': 16})
+    rng = np.random.RandomState(4)
+    oc, C, T = 16, 64, 256
+    W = rng.randn(oc, C).astype(np.float32)
+    X = (rng.randn(T, C) * (1 + 5 * rng.rand(C))).astype(np.float32)
+    H = algo._hessian([jnp.asarray(X)])
+    new = algo.layer_transform({'w': jnp.asarray(W), 'b': None}, H)
+    assert 'perm' in new and 'gptq_scales' in new
+    gs = algo.wspec.group_size
+    # stored scales == per-original-group qparams of the original W? No —
+    # of the error-compensated W's original groups is not recomputable
+    # here; instead verify deploy ignores the perm (per-column indep.)
+    Wq = np.asarray(algo.static_w_qdq(new))
+    no_perm = {k: v for k, v in new.items() if k != 'perm'}
+    Wq2 = np.asarray(algo.static_w_qdq(no_perm))
+    np.testing.assert_array_equal(Wq, Wq2)
+    err_gptq = ((X @ (Wq - W).T) ** 2).mean()
+    Wq_rtn = np.asarray(fake_quant_weight(algo.wspec, jnp.asarray(W)))
+    err_rtn = ((X @ (Wq_rtn - W).T) ** 2).mean()
+    assert np.isfinite(err_gptq) and err_gptq < err_rtn
+
+
+def test_gptq_static_actorder_pipeline():
+    res = run(tiny_config('GPTQ', wbit=4,
+                          special={'static_groups': True,
+                                   'actorder': True, 'percdamp': 0.01},
+                          extra={'quant_extra': None}))
+    assert np.isfinite(res['ppl_fake_quant'])

@@ -85,3 +85,32 @@ def test_offloaded_calibration_runs():
     cfg['model']['offload'] = True
     res = run_pipeline(cfg)
     assert np.isfinite(res['ppl_fake_quant'])
+
+def test_hybrid_mesh_and_host_sharding():
+    """Multi-host layer (parallel/multihost.py): a (dcn_dp=2, ici_tp=4)
+    hybrid mesh on the 8-device CPU fleet must behave exactly like the
+    plain (2,4) mesh — sharded forward matches single-device — and the
+    per-host batch sharding reproduces samples[RANK::WORLD]."""
+    from llmc_tpu.models import LlamaAdapter, LlamaConfig
+    from llmc_tpu.models.llama import model_apply
+    from llmc_tpu.parallel import (host_shard_batches, init_distributed,
+                                   make_hybrid_mesh)
+    from llmc_tpu.parallel.shard import shard_params
+    assert init_distributed() == 0  # single-process: no-op join
+    mesh = make_hybrid_mesh(dcn_dp=2, ici_tp=4)
+    assert mesh.axis_names == ('dp', 'tp')
+    assert mesh.devices.shape == (2, 4)
+    cfg = LlamaConfig(vocab_size=96, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=4, head_dim=8, dtype='float32')
+    m = LlamaAdapter.random(cfg, seed=0)
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 96, (2, 8)))
+    ref = np.asarray(model_apply(m.params, cfg, ids))
+    sp = shard_params(m.params, mesh)
+    got = np.asarray(jax.jit(
+        lambda p, i: model_apply(p, cfg, i))(sp, ids))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    batches = list(range(10))
+    assert host_shard_batches(batches, 0, 2) == [0, 2, 4, 6, 8]
+    assert host_shard_batches(batches, 1, 2) == [1, 3, 5, 7, 9]
+    assert host_shard_batches(batches) == batches  # 1-process world

@@ -144,3 +144,39 @@ def test_omniquant_qkt_smoothing_exact_on_qkt():
     qk1 = (x @ np.asarray(q1['w']).T) @ (x @ np.asarray(k1['w']).T).T
     np.testing.assert_allclose(qk1, qk0, rtol=1e-4, atol=1e-4)
     assert not np.allclose(np.asarray(q1['w']), np.asarray(q0['w']))
+
+
+def test_spqr_exact_loo_scorer():
+    """simplified_outliers=False runs the exact leave-one-out pre-pass
+    (spqr.py:185-201); dropping a genuinely wild column must score far
+    above the rest, and the full layer path must stay finite with a
+    nonempty mask."""
+    import jax.numpy as jnp
+    from llmc_tpu.utils import ALGO_REGISTRY, Cfg
+    import llmc_tpu.compression  # noqa: F401
+    from llmc_tpu.models import build_model
+    cfg = tiny_config('SpQR', wbit=3,
+                      special={'relative_threshold': 0.2,
+                               'simplified_outliers': False,
+                               'percdamp': 0.01, 'blocksize': 16})
+    cfg['quant']['weight']['granularity'] = 'per_group'
+    cfg['quant']['weight']['group_size'] = 16
+    c = Cfg(cfg)
+    model = build_model(c)
+    algo = ALGO_REGISTRY['SpQR'](model, c['quant'],
+                                 {'data': [], 'kwargs': []}, None, c)
+    rng = np.random.RandomState(0)
+    G = rng.randn(8, 16).astype(np.float32)
+    G[:, 5] *= 40.0  # a wild column inflates everyone's range
+    hd = np.ones(16, np.float32)
+    E = np.asarray(algo._loo_scores(jnp.asarray(G), jnp.asarray(hd)))
+    assert E.shape == (8, 16)
+    assert (np.argmax(E, axis=1) == 5).mean() > 0.9
+    # full layer run
+    W = rng.randn(16, 64).astype(np.float32)
+    W[3, 7] *= 50.0
+    X = rng.randn(128, 64).astype(np.float32)
+    H = algo._hessian([jnp.asarray(X)])
+    new = algo.layer_transform({'w': jnp.asarray(W), 'b': None}, H)
+    assert np.isfinite(np.asarray(new['w'])).all()
+    assert np.asarray(new['spqr_mask']).sum() >= 1
