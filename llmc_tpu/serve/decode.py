@@ -24,12 +24,24 @@ FP_POLICY = KVCachePolicy(method='fp')
 
 
 def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
-    """One decoder block with cache read/write."""
-    from ..models.base import linear_apply, rms_norm
+    """One decoder block with cache read/write.  Honors the generalized
+    graph config (llama.py LlamaConfig): LayerNorm/RMSNorm, partial /
+    interleaved rope, alibi, softcaps, query scale, parallel residual,
+    sandwich norms, non-gated MLP, residual multiplier, sliding window
+    (even layers, Gemma2 convention)."""
+    from ..models.base import layer_norm, linear_apply, rms_norm
     B, S, D = x.shape
     H, KVH, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                   cfg.head_dim)
-    h = rms_norm(x, bp['input_layernorm']['w'], cfg.rms_norm_eps)
+    eps = cfg.rms_norm_eps
+
+    def norm(v, p):
+        if cfg.norm_type == 'ln':
+            return layer_norm(v, p['w'], p.get('b'), eps)
+        return rms_norm(v, p['w'], eps)
+
+    rm = cfg.residual_multiplier or 1.0
+    h = norm(x, bp['input_layernorm'])
     p = bp['self_attn']
 
     def qc(path):
@@ -47,9 +59,16 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
         v = linear_apply(p['v_proj'], h, qc('self_attn.v_proj')).reshape(
             B, S, KVH, hd)
     if cfg.use_qk_norm:
-        q = rms_norm(q, p['q_norm']['w'], cfg.rms_norm_eps)
-        k = rms_norm(k, p['k_norm']['w'], cfg.rms_norm_eps)
-    q, k = L.apply_rope(q, k, cos, sin)
+        q = rms_norm(q, p['q_norm']['w'], eps)
+        k = rms_norm(k, p['k_norm']['w'], eps)
+    if L._rotary_dim(cfg) > 0:
+        ci, si = cos, sin
+        if cfg.rope_interleaved:
+            rd = cos.shape[-1]
+            ci = jnp.repeat(cos[..., :rd // 2], 2, axis=-1)
+            si = jnp.repeat(sin[..., :rd // 2], 2, axis=-1)
+        q, k = L.apply_rope(q, k, ci, si,
+                            interleaved=cfg.rope_interleaved)
     cache = policy.update(cache, layer, k, v)
     k_full, v_full = policy.read(cache, layer, x.dtype)
     if KVH != H:
@@ -58,11 +77,24 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
         v_full = jnp.repeat(v_full, rep, axis=2)
     Smax = k_full.shape[1]
     pos = cache['pos']
+    qs = cfg.query_pre_attn_scalar
+    scale = 1.0 / ((qs if qs else hd) ** 0.5)
     scores = jnp.einsum('bqhd,bkhd->bhqk', q, k_full,
-                        preferred_element_type=F32) / (hd ** 0.5)
+                        preferred_element_type=F32) * scale
+    cap = cfg.attn_logit_softcap
+    if cap:
+        scores = cap * jnp.tanh(scores / cap)
     kv_idx = jnp.arange(Smax)[None, :]
+    if cfg.use_alibi:
+        slopes = L._alibi_slopes(H) * (scale if cfg.alibi_scaled else 1.0)
+        scores = scores + (slopes[:, None, None]
+                           * kv_idx.astype(F32)[None])
     q_idx = pos + jnp.arange(S)[:, None]
     valid = kv_idx <= q_idx
+    if cfg.sliding_window:
+        # HF Gemma2 convention: even layers use the sliding window
+        win_ok = (q_idx - kv_idx) < cfg.sliding_window
+        valid = valid & jnp.where(layer % 2 == 0, win_ok, True)
     sink_mask = policy.attention_mask_offset(pos + S, Smax)
     if sink_mask is not None:
         valid = valid & sink_mask[None, :]
@@ -72,19 +104,34 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
                      preferred_element_type=F32).astype(x.dtype)
     attn_out = linear_apply(p['o_proj'], ctx.reshape(B, S, H * hd),
                             qc('self_attn.o_proj'))
-    x = x + attn_out
-    h = rms_norm(x, bp['post_attention_layernorm']['w'], cfg.rms_norm_eps)
-    mp = bp['mlp']
-    if 'gate_up_proj' in mp:  # fused serving layout
-        gu = linear_apply(mp['gate_up_proj'], h, qc('mlp.gate_up_proj'))
-        I = gu.shape[-1] // 2
-        down_in = (jax.nn.silu(gu[..., :I].astype(F32)).astype(x.dtype)
-                   * gu[..., I:])
-        mlp_out = linear_apply(mp['down_proj'], down_in,
-                               qc('mlp.down_proj'))
+
+    def mlp(h_in):
+        mp = bp['mlp']
+        if 'gate_up_proj' in mp:  # fused serving layout (gated)
+            gu = linear_apply(mp['gate_up_proj'], h_in,
+                              qc('mlp.gate_up_proj'))
+            I = gu.shape[-1] // 2
+            down_in = (L._act(gu[..., :I].astype(F32), cfg.act_fn)
+                       .astype(x.dtype) * gu[..., I:])
+            return linear_apply(mp['down_proj'], down_in,
+                                qc('mlp.down_proj'))
+        out, _ = L.mlp_apply(mp, h_in, qmap, act=cfg.act_fn)
+        return out
+
+    if cfg.parallel_residual:
+        h2 = h if cfg.shared_ln else norm(x, bp['post_attention_layernorm'])
+        return x + attn_out + mlp(h2), cache
+    if cfg.sandwich_norms:
+        attn_out = norm(attn_out, bp['post_attention_layernorm'])
+        x = x + attn_out
+        h = norm(x, bp['pre_feedforward_layernorm'])
     else:
-        mlp_out, _ = L.mlp_apply(mp, h, qmap)
-    return x + mlp_out, cache
+        x = x + attn_out * rm
+        h = norm(x, bp['post_attention_layernorm'])
+    mlp_out = mlp(h)
+    if cfg.sandwich_norms:
+        mlp_out = norm(mlp_out, bp['post_feedforward_layernorm'])
+    return x + mlp_out * rm, cache
 
 
 def stack_block_params(blocks):
@@ -111,8 +158,8 @@ def forward_cached(params, cfg, ids, cache, policy, qmap=None,
     with cache['pos'] advanced.  Pass ``stacked_blocks``
     (stack_block_params result) to use the scan-over-layers path."""
     S = ids.shape[1]
-    x = L.embed_apply(params, cfg, ids)
     positions = cache['pos'] + jnp.arange(S)[None, :]
+    x = L.embed_apply(params, cfg, ids, positions=positions)
     cos, sin = L.rope_cos_sin(cfg, positions)
     if stacked_blocks is not None:
         n_layers = jax.tree.leaves(stacked_blocks)[0].shape[0]
