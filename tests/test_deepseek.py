@@ -63,3 +63,43 @@ def test_deepseek_rtn_pipeline(tiny_ds_dir):
     assert res['ppl_transformed'] == pytest.approx(res['ppl_pretrain'],
                                                    rel=1e-6)
     assert np.isfinite(res['ppl_fake_quant'])
+
+
+def test_mla_latent_cache_decode_matches_full(tiny_ds_dir):
+    """Absorbed-MLA decode (serve/mla_decode.py): the latent cache path
+    must reproduce the full forward for whole-sequence prefill and for
+    token-by-token decode (cache stores dc+dr floats/token, not H
+    per-head K/V)."""
+    path, _ = tiny_ds_dir
+    from llmc_tpu.models.adapter import DeepseekV2Adapter
+    from llmc_tpu.serve import init_mla_cache, mla_forward_cached
+    ours = DeepseekV2Adapter.from_pretrained(path, dtype=jnp.float32)
+    cfg = ours.cfg
+    ids = jnp.asarray(np.random.RandomState(1).randint(0, 128, (1, 10)))
+    full = np.asarray(ours.forward_logits(ids))
+    cache = init_mla_cache(cfg, 1, 10, dtype=jnp.float32)
+    got, _ = mla_forward_cached(ours.params, cfg, ids, cache)
+    np.testing.assert_allclose(np.asarray(got), full, rtol=2e-4,
+                               atol=2e-4)
+    cache = init_mla_cache(cfg, 1, 10, dtype=jnp.float32)
+    _, cache = mla_forward_cached(ours.params, cfg, ids[:, :6], cache)
+    last = None
+    for t in range(6, 10):
+        last, cache = mla_forward_cached(ours.params, cfg,
+                                         ids[:, t:t + 1], cache)
+    np.testing.assert_allclose(np.asarray(last[:, -1]), full[:, -1],
+                               rtol=2e-4, atol=2e-4)
+    assert cache['ckv'].shape == (3, 1, 10, cfg.kv_lora_rank)
+
+
+def test_mla_greedy_generate(tiny_ds_dir):
+    path, _ = tiny_ds_dir
+    from llmc_tpu.models.adapter import DeepseekV2Adapter
+    from llmc_tpu.serve import mla_greedy_generate
+    ours = DeepseekV2Adapter.from_pretrained(path, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.RandomState(2).randint(0, 128, (2, 5)))
+    out = mla_greedy_generate(ours, ids, max_new_tokens=4)
+    assert out.shape == (2, 9)
+    full = np.asarray(ours.forward_logits(out[:, :8]))
+    np.testing.assert_array_equal(np.argmax(full[:, -1], -1),
+                                  np.asarray(out)[:, 8])
