@@ -69,13 +69,26 @@ def act_quant_per_group(x: jax.Array, group: int = 128
 
 
 def fp8_block_matmul(x_codes, x_scales, w_codes, w_scale_inv,
-                     block_size: int = 128, out_dtype=jnp.bfloat16):
+                     block_size: int = 128, out_dtype=jnp.bfloat16,
+                     force_xla: bool = False):
     """Blockwise-scaled FP8 GEMM (fp8_gemm_kernel, kernel.py:141-242):
     y = (x_codes·x_scales) @ (w_codes·w_scale_inv)^T computed with fp8
-    inputs feeding the MXU and f32 accumulation; XLA fuses the scale
-    epilogue.  x: [M, K] codes + [M, K/bs] scales; w: [N, K] codes +
+    inputs feeding the MXU and f32 accumulation.  On TPU a Pallas kernel
+    (ops/fp8_gemm.py) applies both scale factors to the [TM, TN]
+    partials on the output side; elsewhere XLA fuses the epilogue.
+    x: [M, K] codes + [M, K/bs] scales; w: [N, K] codes +
     [N/bs, K/bs] scale_inv."""
     M, K = x_codes.shape
+    dev0 = jax.devices()[0]
+    on_tpu = dev0.platform in ('tpu', 'axon') or 'tpu' in str(
+        getattr(dev0, 'device_kind', '')).lower()
+    if (not force_xla and on_tpu and K % block_size == 0
+            and w_codes.shape[0] % 128 == 0):
+        from ..ops.fp8_gemm import fp8_block_matmul_pallas
+        return fp8_block_matmul_pallas(x_codes, x_scales, w_codes,
+                                       w_scale_inv,
+                                       block_size=block_size,
+                                       out_dtype=out_dtype)
     N = w_codes.shape[0]
     kb = K // block_size
     xg = x_codes.reshape(M, kb, block_size)

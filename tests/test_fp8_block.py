@@ -54,3 +54,30 @@ def test_fp8_block_matmul_close():
     ref = x @ w.T
     rel = np.abs(y - ref).max() / np.abs(ref).max()
     assert rel < 0.1
+
+
+def test_fp8_pallas_kernel_matches_xla():
+    """Pallas blockwise FP8 GEMM (ops/fp8_gemm.py, interpret mode) vs
+    the XLA reference path."""
+    import jax.numpy as jnp
+    from llmc_tpu.quant.fp8_block import (act_quant_per_group,
+                                          fp8_block_matmul,
+                                          weight_cast_to_fp8)
+    from llmc_tpu.ops.fp8_gemm import fp8_block_matmul_pallas
+    rng = np.random.RandomState(0)
+    M, K, N = 8, 256, 128
+    x = rng.randn(M, K).astype(np.float32) * 0.3
+    w = rng.randn(N, K).astype(np.float32) * 0.05
+    xc, xs = act_quant_per_group(jnp.asarray(x), 128)
+    wc, ws = weight_cast_to_fp8(jnp.asarray(w), 128)
+    ref = np.asarray(fp8_block_matmul(xc, xs, wc, ws, force_xla=True)
+                     ).astype(np.float32)
+    got = np.asarray(fp8_block_matmul_pallas(
+        xc, xs, wc, ws, tm=16, tn=128, interpret=True)
+        ).astype(np.float32)
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.03
+    # and against the true fp32 product (fp8 quant noise only)
+    true = x @ w.T
+    rel2 = np.abs(got - true).max() / (np.abs(true).max() + 1e-9)
+    assert rel2 < 0.1
