@@ -141,6 +141,14 @@ def _dequant_matmul_xla(x, packed, scales, zeros, meta: QMeta):
 # Pallas TPU kernel
 # --------------------------------------------------------------------------
 
+import os
+# decode style: 'bitcast' (OR 0x4380 + bitcast, affine folded into the
+# epilogue) or 'cast' (direct u8 -> bf16 hardware casts, plain epilogue).
+# Measured equal on v5e half-7B decode; keep 'cast' (2 fewer VPU ops and
+# a simpler epilogue), env knob for re-measurement.
+_W4_DECODE = os.environ.get('LLMC_W4_DECODE', 'cast')
+
+
 def _kernel_w4(x_ref, w_ref, s_ref, zs_ref, o_ref, acc_ref, *, n_k: int,
                single_group: bool, pairs: int, gs: int):
     """Grid (i, j, k): ``pairs`` group-pairs per k step.
@@ -161,13 +169,17 @@ def _kernel_w4(x_ref, w_ref, s_ref, zs_ref, o_ref, acc_ref, *, n_k: int,
     acc = acc_ref[:]
     for p in range(pairs):  # static unroll: all slices 128-aligned
         u = w_ref[:, p * gs:(p + 1) * gs].astype(jnp.int32) & 0xFF
-        # bf16 bit-trick: 0x4380 | m is 256 + 2m for m in [0,16) — turn
-        # nibbles into bf16 with an OR + bitcast instead of int->float
-        # casts; the affine (256, x2) factors fold into s/zs below
-        b0 = ((u & 0xF) | 0x4380).astype(jnp.uint16)
-        b1 = ((u >> 4) | 0x4380).astype(jnp.uint16)
-        w0 = pltpu.bitcast(b0, jnp.bfloat16)
-        w1 = pltpu.bitcast(b1, jnp.bfloat16)
+        if _W4_DECODE == 'bitcast':
+            # bf16 bit-trick: 0x4380 | m is 256 + 2m for m in [0,16):
+            # nibbles -> bf16 via OR + bitcast; affine folds below
+            b0 = ((u & 0xF) | 0x4380).astype(jnp.uint16)
+            b1 = ((u >> 4) | 0x4380).astype(jnp.uint16)
+            w0 = pltpu.bitcast(b0, jnp.bfloat16)
+            w1 = pltpu.bitcast(b1, jnp.bfloat16)
+        else:
+            # direct hardware casts: values 0..15 exact in bf16
+            w0 = (u & 0xF).astype(jnp.bfloat16)
+            w1 = (u >> 4).astype(jnp.bfloat16)
         i0, i1 = 2 * p, (2 * p + 1 if not single_group else 2 * p)
         s0 = s_ref[0, i0:i0 + 1, :].astype(F32)        # [1, TN]
         s1 = s_ref[0, i1:i1 + 1, :].astype(F32)
@@ -181,12 +193,16 @@ def _kernel_w4(x_ref, w_ref, s_ref, zs_ref, o_ref, acc_ref, *, n_k: int,
                                     preferred_element_type=F32)
         xs0 = jnp.sum(x0.astype(F32), axis=1, keepdims=True)  # [TM, 1]
         xs1 = jnp.sum(x1.astype(F32), axis=1, keepdims=True)
-        # partN = 256*xsN + 2*(x @ u^T)  =>  x @ u^T = (partN-256*xsN)/2
-        half = jnp.float32(0.5)
-        acc = (acc
-               + (part0 * half - 128.0 * xs0) * s0
-               + (part1 * half - 128.0 * xs1) * s1
-               - xs0 * zs0 - xs1 * zs1)
+        if _W4_DECODE == 'bitcast':
+            # partN = 256*xsN + 2*(x@u^T) => x@u^T = (partN-256*xsN)/2
+            half = jnp.float32(0.5)
+            acc = (acc
+                   + (part0 * half - 128.0 * xs0) * s0
+                   + (part1 * half - 128.0 * xs1) * s1
+                   - xs0 * zs0 - xs1 * zs1)
+        else:
+            acc = (acc + part0 * s0 + part1 * s1
+                   - xs0 * zs0 - xs1 * zs1)
     acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
