@@ -61,6 +61,9 @@ class KVCachePolicy:
                       head_dim)
             cache['k_r'] = jnp.zeros(rshape, dtype)
             cache['v_r'] = jnp.zeros(rshape, dtype)
+            # tokens present INCLUDING the current step's write (pos only
+            # advances once per step, after all layers ran)
+            cache['kivi_total'] = jnp.zeros((), jnp.int32)
         return cache
 
     # -- quant helpers (per token+head over head_dim) -------------------
@@ -99,14 +102,8 @@ class KVCachePolicy:
             cache['v'] = _upd(cache['v'], layer, pos, v_new)
             return cache
         cache = dict(cache)
-        if self.method == 'kivi':
-            # recent window FP: shift residual, quantize evicted tokens
-            # (approximated: quantize tokens as they pass residual_length)
-            kq, ks, kz = self._quant(k_new)
-            vq, vs, vz = self._quant(v_new)
-        else:
-            kq, ks, kz = self._quant(k_new)
-            vq, vs, vz = self._quant(v_new)
+        kq, ks, kz = self._quant(k_new)
+        vq, vs, vz = self._quant(v_new)
         cache['k_q'] = _upd(cache['k_q'], layer, pos, kq)
         cache['v_q'] = _upd(cache['v_q'], layer, pos, vq)
         cache['k_s'] = _upd(cache['k_s'], layer, pos, ks)
@@ -117,6 +114,7 @@ class KVCachePolicy:
         if self.method == 'kivi':
             cache['k_r'] = _roll_in(cache['k_r'], layer, k_new)
             cache['v_r'] = _roll_in(cache['v_r'], layer, v_new)
+            cache['kivi_total'] = pos + k_new.shape[1]
         return cache
 
     def read(self, cache: Dict, layer: int, dtype) -> Tuple[jax.Array,
@@ -130,14 +128,15 @@ class KVCachePolicy:
                           cache['v_z'][layer] if 'v_z' in cache else None,
                           dtype)
         if self.method == 'kivi':
-            # overwrite the most recent residual_length tokens with FP
-            pos = cache['pos']
+            # overwrite the most recent residual_length tokens (including
+            # the ones written this step) with their FP values — the
+            # reference keeps the residual window unquantized until
+            # eviction (kvquant.py:226-289); since qparams are per-token
+            # this is numerically identical to quantize-at-eviction.
+            total = cache['kivi_total']
             R = self.residual_length
-            # dynamic window: positions [max(0,pos+new-R), pos+new)
-            # handled in attention via the same cache layout; here we
-            # splice the FP residual back over the quantized entries
-            k = _splice_residual(k, cache['k_r'][layer], pos, R)
-            v = _splice_residual(v, cache['v_r'][layer], pos, R)
+            k = _splice_residual(k, cache['k_r'][layer], total, R)
+            v = _splice_residual(v, cache['v_r'][layer], total, R)
         return k, v
 
     def attention_mask_offset(self, pos, max_len):
@@ -167,21 +166,19 @@ def _roll_in(buf, layer, new):
     return buf.at[layer].set(cur)
 
 
-def _splice_residual(kdq, kres, pos, R):
-    """Overwrite positions [pos+s-R, pos+s) with FP residual values.
-    kdq: [B,S,KH,hd], kres: [B,R,KH,hd].  pos is the position BEFORE the
-    current step's write; splice uses the window ending at pos+s where s
-    was already written — approximated by the last R positions < pos+s."""
+def _splice_residual(kdq, kres, total, R):
+    """Overwrite positions [total-R, total) with FP residual values.
+    kdq: [B,S,KH,hd], kres: [B,R,KH,hd].  ``total`` is the token count
+    AFTER the current step's write (the residual ring's newest entry is
+    absolute position total-1, held in slot R-1; slot j holds absolute
+    position total-R+j)."""
     B, S, KH, hd = kdq.shape
-    idx = jnp.arange(S)[None, :, None, None]
-    # residual token j of the window maps to absolute position pos-R+j;
-    # overlay the FP residual starting at max(0, pos-R)
-    start = jnp.maximum(pos - R, 0)
-    r = min(R, S)
-    overlay = jax.lax.dynamic_update_slice(
-        kdq, kres[:, -r:].astype(kdq.dtype), (0, start, 0, 0))
-    keep = idx >= start
-    return jnp.where(keep & (idx < pos), overlay, kdq)
+    a = jnp.arange(S)                       # absolute kv position
+    j = a - total + R                       # residual slot for position a
+    in_window = (j >= 0) & (j < R) & (a < total)
+    res = jnp.take(kres, jnp.clip(j, 0, R - 1), axis=1)   # [B,S,KH,hd]
+    return jnp.where(in_window[None, :, None, None],
+                     res.astype(kdq.dtype), kdq)
 
 
 # registry entries mirroring KV_REGISTRY names (kvquant.py / kvsparse.py)

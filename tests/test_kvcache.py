@@ -59,6 +59,46 @@ def test_kivi_residual_recovers_accuracy(model, ids):
     assert _ppl(kivi, n) < _ppl(q4, n) * 1.25
 
 
+def test_kivi_splice_exact_alignment():
+    """Positions [total-R, total) must read back EXACTLY FP (including the
+    just-written tokens, before pos advances); older positions must equal
+    their per-token quant-dequant values.  Catches off-by-one splices."""
+    R, B, KH, hd, T = 4, 1, 2, 8, 10
+    pol = KVCachePolicy(method='kivi', bit=4, residual_length=R)
+    cache = pol.init_cache(B, T, KH, hd, n_blocks=1, dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    ks = rng.randn(T, B, 1, KH, hd).astype(np.float32)
+    vs = rng.randn(T, B, 1, KH, hd).astype(np.float32)
+    for t in range(T):
+        cache = pol.update(cache, 0, jnp.asarray(ks[t]), jnp.asarray(vs[t]))
+        k_read, v_read = pol.read(cache, 0, jnp.float32)
+        total = t + 1
+        for a in range(total):
+            got = np.asarray(k_read[0, a])
+            fp = ks[a, 0, 0]
+            if a >= total - R:          # residual window: exact FP
+                np.testing.assert_allclose(got, fp, rtol=0, atol=0,
+                                           err_msg=f't={t} pos={a} (FP)')
+            else:                       # evicted: quant-dequant
+                q, s, _ = pol._quant(jnp.asarray(fp[None, None, None]))
+                exp = np.asarray(pol._dequant(q, s, None, jnp.float32))[0, 0, 0]
+                np.testing.assert_allclose(got, exp, rtol=0, atol=0,
+                                           err_msg=f't={t} pos={a} (Q)')
+        cache = dict(cache, pos=cache['pos'] + 1)
+
+
+def test_kivi_beats_naive_strictly(model, ids):
+    fp, n = decode_nll(model, ids)
+    kivi, _ = decode_nll(model, ids,
+                         kv_policy=KVCachePolicy(method='kivi', bit=4,
+                                                 residual_length=8))
+    q4, _ = decode_nll(model, ids,
+                       kv_policy=KVCachePolicy(method='naive', bit=4))
+    # with a correct FP residual window the PPL gap to FP must shrink
+    assert abs(_ppl(kivi, n) - _ppl(fp, n)) <= \
+        abs(_ppl(q4, n) - _ppl(fp, n)) + 1e-6
+
+
 def test_sink_window_generates(model):
     prompt = jnp.asarray(np.random.RandomState(9).randint(0, 128, (1, 6)))
     pol = KVCachePolicy(method='sink', num_sink_tokens=2, window_length=8)
