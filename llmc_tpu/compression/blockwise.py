@@ -377,12 +377,34 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
         elif quant_format == 'fake_quant':
             if self.act_static:
                 self.install_static_act_qparams()
-            entries = {}
-            for b in range(self.model.n_blocks):
+            per_block = [{p: self.fake_quant_qcfg(b, p)
+                          for p in self.layout.linears}
+                         for b in range(self.model.n_blocks)]
+            if all(pb == per_block[0] for pb in per_block[1:]):
+                entries = dict(per_block[0])
+            else:
+                # Block-dependent policies (ignored_layers.block_ids)
+                # cannot live in ONE flat QMap — bake the weight qdq into
+                # the params honoring each block's own decision, and keep
+                # only the (uniform) activation policy at runtime.
+                if not getattr(self, '_baked', False):
+                    self.bake_fake_quant_weights()
+                entries = {}
                 for p in self.layout.linears:
-                    qc = self.fake_quant_qcfg(b, p)
-                    entries[p] = qc  # same policy every block; per-block
-                    # ignore handled via baked weights below
+                    qcs = [pb[p] for pb in per_block]
+                    live = [q for q in qcs if q is not None]
+                    a_specs = {(q.a_spec, q.a_static) for q in live}
+                    if not live or a_specs == {(None, False)}:
+                        entries[p] = None    # weight handled by baking
+                    elif len(a_specs) == 1 and len(live) == len(qcs):
+                        a_spec, a_static = next(iter(a_specs))
+                        entries[p] = LinearQcfg(a_spec=a_spec,
+                                                a_static=a_static)
+                    else:
+                        raise NotImplementedError(
+                            'per-block ignored_layers combined with '
+                            'activation quantization cannot be expressed '
+                            'in the fake-quant eval path')
             entries.update(self.act_pseudo_entries())
             qmap = QMap(entries)
         else:

@@ -196,6 +196,10 @@ class GPTQ(BaseBlockwiseQuantization):
             out['gptq_zeros'] = zeros
         if perm is not None:
             out['perm'] = perm
+            if not static_actorder:
+                # qparams follow the PERMUTED column layout (in-loop group
+                # search); static_actorder stores them on original groups
+                out['gptq_perm_qp'] = True
         if mask is not None:
             out['spqr_mask'] = mask
         if n_out > 0:
@@ -235,6 +239,13 @@ class GPTQ(BaseBlockwiseQuantization):
         bs = min(self.blocksize, C)
         gs = spec.group_size if spec.granularity == 'per_group' else C
         ng = C // gs
+        # static_groups without actorder: a column block may span several
+        # groups (blocksize > group_size) or a fraction of one
+        # (group_size > blocksize) — look each column's group qparams up
+        # from the upfront per-ORIGINAL-group table instead of assuming
+        # one group per block
+        static_group_cols = (spec.granularity == 'per_group'
+                             and self.static_groups and not use_perm_groups)
 
         def qp_of(cols, valid=None):
             """qparams for a column group (current W values).  ``valid``
@@ -303,14 +314,8 @@ class GPTQ(BaseBlockwiseQuantization):
                 zeros_out = jax.lax.dynamic_update_slice(
                     zeros_out, z, (0, b * (bs // gs)))
             elif spec.granularity == 'per_group':
-                s = jax.lax.dynamic_slice(qp_groups[0], (0, i1 // gs),
-                                          (oc, 1))
-                z = jax.lax.dynamic_slice(qp_groups[1], (0, i1 // gs),
-                                          (oc, 1))
-                scales_out = jax.lax.dynamic_update_slice(
-                    scales_out, s, (0, i1 // gs))
-                zeros_out = jax.lax.dynamic_update_slice(
-                    zeros_out, z, (0, i1 // gs))
+                gcol = ((i1 + jnp.arange(bs)) // gs).astype(jnp.int32)
+                s = z = None
             else:
                 s, z = qp_static.scales, jnp.broadcast_to(
                     jnp.asarray(qp_static.zeros, F32),
@@ -325,6 +330,12 @@ class GPTQ(BaseBlockwiseQuantization):
                     si = jax.lax.dynamic_slice(static_qp[0], (0, g),
                                                (oc, 1))
                     zi = jax.lax.dynamic_slice(static_qp[1], (0, g),
+                                               (oc, 1))
+                elif static_group_cols:
+                    g = jax.lax.dynamic_slice(gcol, (i,), (1,))[0]
+                    si = jax.lax.dynamic_slice(qp_groups[0], (0, g),
+                                               (oc, 1))
+                    zi = jax.lax.dynamic_slice(qp_groups[1], (0, g),
                                                (oc, 1))
                 else:
                     si, zi = s, z
@@ -366,6 +377,8 @@ class GPTQ(BaseBlockwiseQuantization):
             # stored qparams stay in ORIGINAL group layout; deploy's qdq
             # then needs no permutation at all (per-column independence)
             scales_out, zeros_out = static_qp
+        elif static_group_cols:
+            scales_out, zeros_out = qp_groups
         zeros_ret = None if (spec.symmetric and spec.round_zp) else zeros_out
         if spec.granularity != 'per_group':
             scales_ret = qp_static.scales.reshape(oc, -1)

@@ -108,10 +108,9 @@ class Wanda(BaseBlockwiseSparsification):
         xs = feats[subset.input_key]
 
         @jax.jit
-        def scaler_row(xs0):
-            nsamples = xs0.shape[0] if xs0.ndim == 3 else 1
-            x2 = xs0.reshape(-1, xs0.shape[-1]).astype(F32)
-            return jnp.sum(x2 * x2, axis=0) / nsamples
+        def sumsq(x):
+            x2 = x.reshape(-1, x.shape[-1]).astype(F32)
+            return jnp.sum(x2 * x2, axis=0)
 
         @jax.jit
         def prune(w, sr):
@@ -122,7 +121,15 @@ class Wanda(BaseBlockwiseSparsification):
             ranks = jnp.argsort(order, axis=-1, stable=True)
             return jnp.where(ranks < k, 0.0, w.astype(F32)).astype(w.dtype)
 
-        sr = scaler_row(xs[0])
+        # Σ‖x‖²/n over ALL calibration batches (wanda.py:45-56 accumulates
+        # scaler_row across samples)
+        total = None
+        nsamples = 0
+        for x in xs:
+            s = sumsq(x)
+            total = s if total is None else total + s
+            nsamples += x.shape[0] if x.ndim == 3 else 1
+        sr = total / max(nsamples, 1)
         for path in subset.layers:
             lin = get_path(block, path)
             block = set_path(block, path, dict(lin, w=prune(lin['w'], sr)))
@@ -154,7 +161,10 @@ class ShortGPT(BaseBlockwiseSparsification):
             sim = jnp.nan_to_num(sim, nan=0.5)
             return jnp.sum(1 - sim)
 
-        self.importances[idx] = float(bi(self.inputs[0], outs[0]))
+        # accumulate Block-Influence over ALL calibration samples
+        # (shortgpt.py:39-54 sums 1-cos over every batch)
+        self.importances[idx] = sum(
+            float(bi(xin, xout)) for xin, xout in zip(self.inputs, outs))
         self.inputs = outs
 
     def remove_layers(self, layers_to_remove: Optional[List[int]] = None

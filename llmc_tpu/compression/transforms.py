@@ -7,8 +7,11 @@ rotate_*, remove_mean_from_embed, bake_mean_into_fc).
 
 Here a linear is ``{'w': [out,in], 'b': [out]|None}`` and a norm is
 ``{'w': [d], 'b': optional}``; every function is pure (returns new dicts).
-All scaling math runs in float32, rotations in float64 (reference uses
-double for rotations too).
+All scaling math runs in float32; rotations and LN fusion run in REAL
+float64 on the host via numpy (the reference uses double for these,
+base:832-856) — jnp.float64 would silently truncate to f32 without the
+global x64 flag, and TPU has no native f64 anyway.  These are one-time
+eager weight transforms, so host math is free.
 """
 
 from __future__ import annotations
@@ -17,13 +20,18 @@ from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 F32 = jnp.float32
-F64 = jnp.float64
 
 
 def _cast_like(x, ref):
-    return x.astype(ref.dtype)
+    return jnp.asarray(x).astype(ref.dtype)
+
+
+def _f64(x) -> np.ndarray:
+    """Host-side float64 view of a jax/np array."""
+    return np.asarray(x, dtype=np.float64)
 
 
 def repeat_gqa_scales(scales: jnp.ndarray, num_kv_heads: int,
@@ -98,17 +106,16 @@ def shift_ln_fcs(ln: Dict, fcs: List[Dict], shifts: jnp.ndarray,
 
 def fuse_ln_fcs(ln: Dict, fcs: List[Dict]) -> Tuple[Dict, List[Dict]]:
     """Fold LN weight (and bias) into following fcs; LN becomes weightless
-    (base:832-856 — double precision)."""
-    lw = ln['w'].astype(F64)
+    (base:832-856 — double precision, real f64 via host numpy)."""
+    lw = _f64(ln['w'])
     lb = ln.get('b')
     new_fcs = []
     for fc in fcs:
-        w = fc['w'].astype(F64)
+        w = _f64(fc['w'])
         new_fc = dict(fc, w=_cast_like(w * lw[None, :], fc['w']))
         if lb is not None:
-            b0 = fc['b'].astype(F64) if fc.get('b') is not None else 0.0
-            new_fc['b'] = _cast_like(b0 + jnp.dot(w, lb.astype(F64)),
-                                     fc['w'])
+            b0 = _f64(fc['b']) if fc.get('b') is not None else 0.0
+            new_fc['b'] = _cast_like(b0 + w @ _f64(lb), fc['w'])
         new_fcs.append(new_fc)
     new_ln = dict(ln, w=jnp.ones_like(ln['w']))
     if lb is not None:
@@ -117,32 +124,28 @@ def fuse_ln_fcs(ln: Dict, fcs: List[Dict]) -> Tuple[Dict, List[Dict]]:
 
 
 def rotate_pre_layer(fc: Dict, Q: jnp.ndarray) -> Dict:
-    """W <- W @ Q (input-side rotation, base:874-887)."""
-    w = jnp.dot(fc['w'].astype(F64), Q.astype(F64),
-                precision=jax.lax.Precision.HIGHEST)
+    """W <- W @ Q (input-side rotation, base:874-887; f64 on host)."""
+    w = _f64(fc['w']) @ _f64(Q)
     return dict(fc, w=_cast_like(w, fc['w']))
 
 
 def rotate_post_layer(fc: Dict, Q: jnp.ndarray) -> Dict:
     """W <- Q^T @ W, b <- Q^T b (output-side rotation, base:889-906)."""
-    qt = Q.astype(F64).T
-    w = jnp.dot(qt, fc['w'].astype(F64),
-                precision=jax.lax.Precision.HIGHEST)
-    out = dict(fc, w=_cast_like(w, fc['w']))
+    qt = _f64(Q).T
+    out = dict(fc, w=_cast_like(qt @ _f64(fc['w']), fc['w']))
     if fc.get('b') is not None:
-        out['b'] = _cast_like(jnp.dot(qt, fc['b'].astype(F64)), fc['b'])
+        out['b'] = _cast_like(qt @ _f64(fc['b']), fc['b'])
     return out
 
 
 def rotate_embedding(embed: Dict, Q: jnp.ndarray) -> Dict:
-    """E <- E @ Q (base:908-915)."""
-    w = jnp.dot(embed['w'].astype(F64), Q.astype(F64),
-                precision=jax.lax.Precision.HIGHEST)
+    """E <- E @ Q (base:908-915; f64 on host)."""
+    w = _f64(embed['w']) @ _f64(Q)
     return dict(embed, w=_cast_like(w, embed['w']))
 
 
 def remove_mean_from_embed(embed: Dict) -> Dict:
-    w = embed['w'].astype(F64)
+    w = _f64(embed['w'])
     return dict(embed, w=_cast_like(w - w.mean(axis=-1, keepdims=True),
                                     embed['w']))
 
@@ -150,9 +153,9 @@ def remove_mean_from_embed(embed: Dict) -> Dict:
 def bake_mean_into_fc(fc: Dict) -> Dict:
     """Subtract per-column mean of W (and mean of b) — pairs with
     remove_mean_from_embed for rotation-based methods (base:925-934)."""
-    w = fc['w'].astype(F64)
+    w = _f64(fc['w'])
     out = dict(fc, w=_cast_like(w - w.mean(axis=0, keepdims=True), fc['w']))
     if fc.get('b') is not None:
-        b = fc['b'].astype(F64)
+        b = _f64(fc['b'])
         out['b'] = _cast_like(b - b.mean(), fc['b'])
     return out

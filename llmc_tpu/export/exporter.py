@@ -26,6 +26,46 @@ def _real_quant_np(wspec: QuantSpec, lin: Dict):
             np.asarray(zeros) if zeros is not None else None)
 
 
+def _stored_quant_np(wspec: QuantSpec, lin: Dict):
+    """Codes from the calibration loop's stored static qparams (GPTQ /
+    SpQR): the export must reproduce the error-compensated quantization,
+    not re-quantize with fresh dynamic minmax (the reference exports the
+    loop's buf_scales/buf_zeros, module_utils.py:787-821).
+
+    Returns (codes, scales [oc, ng], zeros|None, g_idx|None).  With
+    actorder the qparams follow the permuted column layout; codes are
+    returned in ORIGINAL column order plus a per-column group index
+    (AutoGPTQ/compressed-tensors ``weight_g_idx`` convention).
+    """
+    if int(lin.get('owq_n_out', 0)):
+        raise ValueError(
+            'OWQ keeps FP outlier columns; real-quant formats cannot '
+            'represent them — use save_fake / save_trans instead')
+    if lin.get('spqr_mask') is not None:
+        raise ValueError(
+            'SpQR FP outlier entries cannot be represented in dense '
+            'real-quant formats — use save_fake / save_trans instead')
+    w = np.asarray(lin['w'], np.float32)
+    oc, C = w.shape
+    scales = np.asarray(lin['gptq_scales'], np.float32).reshape(oc, -1)
+    ng = scales.shape[1]
+    gs = C // ng
+    z = lin.get('gptq_zeros')
+    z = np.asarray(z, np.float32).reshape(oc, ng) if z is not None else None
+    perm = np.asarray(lin['perm']) if lin.get('gptq_perm_qp') else None
+    wq_in = w[:, perm] if perm is not None else w
+    s_rep = np.repeat(np.clip(scales, 1e-9, None), gs, axis=1)
+    z_rep = np.repeat(z, gs, axis=1) if z is not None else 0.0
+    q = np.clip(np.round(wq_in / s_rep) + z_rep, wspec.qmin, wspec.qmax)
+    g_idx = None
+    if perm is not None:
+        inv = np.argsort(perm)
+        q = q[:, inv]
+        g_idx = (inv // gs).astype(np.int32)  # original col -> group
+    codes = q.astype(np.int8 if wspec.qmin != 0 else np.uint8)
+    return codes, scales, z, g_idx
+
+
 def export_real_quant(model, wspec: QuantSpec, quant_cfg: Dict,
                       save_path: str, backend: str = 'vllm',
                       static_input_scales: Optional[Dict] = None) -> None:
@@ -61,11 +101,22 @@ def export_real_quant(model, wspec: QuantSpec, quant_cfg: Dict,
             bf16(blk['post_attention_layernorm']['w']))
         for path in layout.linears:
             lin = get_path(blk, path)
-            codes, scales, zeros = _real_quant_np(wspec, lin)
+            g_idx = None
+            if 'gptq_scales' in lin:
+                codes, scales, zeros, g_idx = _stored_quant_np(wspec, lin)
+            else:
+                codes, scales, zeros = _real_quant_np(wspec, lin)
             prefix = f'{b}.{path}'
+            if g_idx is not None and not ct:
+                raise ValueError(
+                    'GPTQ actorder (weight_g_idx) is only representable '
+                    'in the compressed-tensors backends (vllm/sgl/'
+                    'lightllm)')
             if ct:
                 tensors = export_vllm_linear(codes, scales, zeros, bits,
                                              need_pack)
+                if g_idx is not None:
+                    tensors['weight_g_idx'] = g_idx
             else:
                 if zeros is None:  # AWQ format requires zero points
                     zeros = np.zeros_like(scales)

@@ -50,7 +50,7 @@ def export_vllm_linear(codes: np.ndarray, scales: np.ndarray,
         # signed (symmetric) codes get the unsigned offset
         # (module_utils.py:843-845); asymmetric codes are already unsigned
         c = codes.astype(np.int32)
-        if c.min() < 0:
+        if codes.dtype == np.int8:   # signed convention, not value-dependent
             c = c + 2 ** bits // 2
         out['weight_packed'] = pack_int32_rows(c.astype(np.uint8), bits)
     else:

@@ -107,13 +107,28 @@ def linear_apply(p: Dict, x: jax.Array,
         if p.get('b') is not None:
             y = y + p['b']
         return y
+    if qcfg is not None and qcfg.a_outlier_threshold is not None:
+        # LLM.int8 runtime decomposition (llmint8.py): columns whose act
+        # absmax exceeds the threshold stay FP in BOTH activation and
+        # weight, and the int qparams are computed from the non-outlier
+        # columns only (otherwise the outliers inflate the per-token
+        # scale the decomposition exists to protect)
+        from ..quant.quantizer import (fake_quant_act_masked,
+                                       fake_quant_weight_masked)
+        red = tuple(range(x.ndim - 1))
+        col_max = jnp.max(jnp.abs(x.astype(F32)), axis=red)
+        int_mask = col_max <= qcfg.a_outlier_threshold
+        if qcfg.a_spec is not None:
+            x = fake_quant_act_masked(qcfg.a_spec, x, int_mask)
+        w = p['w']
+        if qcfg.w_spec is not None and not qcfg.w_baked:
+            w = fake_quant_weight_masked(qcfg.w_spec, w, int_mask)
+        y = jnp.dot(x, w.T, preferred_element_type=F32).astype(x.dtype)
+        if p.get('b') is not None:
+            y = y + p['b']
+        return y
     if qcfg is not None and qcfg.a_spec is not None:
-        if qcfg.a_outlier_threshold is not None:
-            red = tuple(range(x.ndim - 1))
-            col_max = jnp.max(jnp.abs(x.astype(F32)), axis=red)
-            outlier = col_max > qcfg.a_outlier_threshold
-            x = jnp.where(outlier, x, fake_quant_act(qcfg.a_spec, x))
-        elif qcfg.a_static:
+        if qcfg.a_static:
             x = fake_quant_act_static(
                 qcfg.a_spec, x, QParams(p['a_scales'], p['a_zeros']))
         else:

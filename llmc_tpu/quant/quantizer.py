@@ -530,7 +530,6 @@ def static_qparams_from_batches(spec: QuantSpec, batches, algo: str
     """Dispatch for static act calibration; per-tensor only (the reference
     asserts the same, base_blockwise_quantization.py:180-184)."""
     if algo == 'static_hist':
-        assert spec.symmetric is True or True  # hist works for both here
         rng = static_hist_range(spec, batches)
     elif algo == 'static_moving_minmax':
         rng = static_moving_minmax_range(batches)

@@ -109,3 +109,37 @@ def test_shortgpt_removes_layers():
     assert model.n_blocks == 1
     ids = jnp.zeros((1, 4), jnp.int32)
     assert np.isfinite(np.asarray(model.forward_logits(ids))).all()
+
+
+def test_llmint8_outlier_masking_unit():
+    """The outlier column must stay FP in act AND weight, and int qparams
+    must come from non-outlier columns only — an x with one huge column
+    should quantize the small columns as finely as if the outlier were
+    absent (llmint8.py reference semantics)."""
+    import jax.numpy as jnp
+    from llmc_tpu.models.base import LinearQcfg, linear_apply
+    from llmc_tpu.quant import QuantSpec
+    rng = np.random.RandomState(0)
+    C, O, T = 32, 16, 64
+    x = rng.randn(1, T, C).astype(np.float32)
+    x[..., 5] *= 120.0  # outlier column
+    w = rng.randn(O, C).astype(np.float32)
+    p = {'w': jnp.asarray(w), 'b': None}
+    aspec = QuantSpec(bit=8, symmetric=True, granularity='per_token')
+    wspec = QuantSpec(bit=8, symmetric=True, granularity='per_channel')
+    qc = LinearQcfg(w_spec=wspec, a_spec=aspec, a_outlier_threshold=6.0)
+    y = np.asarray(linear_apply(p, jnp.asarray(x), qc))
+    y_fp = x @ w.T
+    # reference error: quantize x/w with the outlier REMOVED, add its FP
+    # contribution back
+    x_no = x.copy(); x_no[..., 5] = 0.0
+    from llmc_tpu.quant.quantizer import fake_quant_act, fake_quant_weight
+    xq = np.asarray(fake_quant_act(aspec, jnp.asarray(x_no)))
+    wq = np.asarray(fake_quant_weight(wspec, jnp.asarray(w))).copy()
+    wq[:, 5] = w[:, 5]
+    y_ref = xq @ wq.T + np.einsum('btc,oc->bto', x - x_no, w)
+    err = np.abs(y - y_fp).mean()
+    err_ref = np.abs(y_ref - y_fp).mean() + 1e-6
+    # masked decomposition must be in the same error regime as the
+    # outlier-free reference (the old unmasked path was ~100x worse)
+    assert err < 3 * err_ref, (err, err_ref)

@@ -150,3 +150,48 @@ def test_gptq_static_actorder_pipeline():
                                    'actorder': True, 'percdamp': 0.01},
                           extra={'quant_extra': None}))
     assert np.isfinite(res['ppl_fake_quant'])
+
+
+def test_gptq_static_groups_blocksize_spanning_groups():
+    """static_groups without actorder with blocksize (128) > group_size
+    (32): every group's qparams must be applied to its own columns and
+    all scales_out entries filled — regression for the bug where only the
+    first group per column block was used and the rest were zeroed by
+    static_w_qdq."""
+    algo = _make_gptq({'static_groups': True, 'actorder': False})
+    assert algo.blocksize == 128
+    rng = np.random.RandomState(4)
+    oc, C = 16, 128  # one column block spanning 4 groups of 32
+    W = rng.randn(oc, C).astype(np.float32)
+    X = (rng.randn(256, C) * (1 + 2 * rng.rand(C))).astype(np.float32)
+    H = algo._hessian([jnp.asarray(X)])
+    new = algo.layer_transform({'w': jnp.asarray(W), 'b': None}, H)
+    scales = np.asarray(new['gptq_scales'])
+    assert scales.shape == (oc, C // 32)
+    assert (np.abs(scales) > 0).all(), 'unfilled group scales'
+    Wq = np.asarray(algo.static_w_qdq(new))
+    assert not (Wq == 0).all(axis=0).any(), 'zeroed columns'
+    mse = ((Wq - W) ** 2).mean()
+    assert mse < 0.01, mse  # 4-bit per-group error, not garbage
+
+
+def test_gptq_static_groups_matches_group_aligned_blocksize():
+    """With blocksize=group_size the old path was correct; the spanning
+    path must produce identical results (per-column independence of
+    static group qparams)."""
+    a128 = _make_gptq({'static_groups': True, 'actorder': False,
+                       'blocksize': 128})
+    a32 = _make_gptq({'static_groups': True, 'actorder': False,
+                      'blocksize': 32})
+    rng = np.random.RandomState(5)
+    oc, C = 8, 128
+    W = rng.randn(oc, C).astype(np.float32)
+    X = (rng.randn(128, C) * (1 + 2 * rng.rand(C))).astype(np.float32)
+    H = a128._hessian([jnp.asarray(X)])
+    n128 = a128.layer_transform({'w': jnp.asarray(W), 'b': None}, H)
+    n32 = a32.layer_transform({'w': jnp.asarray(W), 'b': None}, H)
+    np.testing.assert_allclose(np.asarray(n128['gptq_scales']),
+                               np.asarray(n32['gptq_scales']), atol=0)
+    np.testing.assert_allclose(np.asarray(a128.static_w_qdq(n128)),
+                               np.asarray(a32.static_w_qdq(n32)),
+                               atol=2e-5)

@@ -176,3 +176,62 @@ def test_trtllm_checkpoint_export(tmp_path):
     assert r0['lm_head.weight'].dtype == np.float16
     assert r0['lm_head.weight'].shape == (32, 32)
     assert 'transformer.vocab_embedding.weight' in r1
+
+
+def test_export_uses_stored_gptq_qparams(tmp_path):
+    """A linear carrying gptq_scales must export codes computed with the
+    loop's static qparams (dequant == static_w_qdq), not fresh dynamic
+    minmax — and actorder must emit weight_g_idx mapping each original
+    column to its permuted-layout group."""
+    import jax.numpy as jnp
+    from safetensors.numpy import load_file
+    from llmc_tpu.export import export_real_quant
+    from llmc_tpu.models import LlamaAdapter, LlamaConfig
+    from llmc_tpu.models.base import get_path, set_path
+    from llmc_tpu.quant import QuantSpec
+    from llmc_tpu.utils import Cfg, ALGO_REGISTRY
+    import llmc_tpu.compression  # noqa: F401
+    from test_pipeline import tiny_config
+
+    for actorder in (False, True):
+        cfg = Cfg(tiny_config('GPTQ', wbit=4,
+                              special={'actorder': actorder}))
+        from llmc_tpu.models import build_model
+        m = build_model(cfg)
+        algo = ALGO_REGISTRY['GPTQ'](m, cfg['quant'],
+                                     {'data': [], 'kwargs': []}, None, cfg)
+        rng = np.random.RandomState(0)
+        layout = m.get_layout()
+        # run the real layer_transform on every linear of block 0
+        blk = m.blocks[0]
+        for path in layout.linears:
+            lin = get_path(blk, path)
+            C = lin['w'].shape[1]
+            X = (rng.randn(64, C) * (1 + rng.rand(C))).astype(np.float32)
+            H = algo._hessian([jnp.asarray(X)])
+            blk = set_path(blk, path, algo.layer_transform(lin, H))
+        m.set_block(0, blk)
+        m.hf_config = {'model_type': 'llama', 'num_hidden_layers': 1}
+        wspec = algo.wspec
+        qcfg = {'weight': {'bit': 4, 'symmetric': False,
+                           'granularity': 'per_group', 'group_size': 32}}
+        out = str(tmp_path / f'gptq_ckpt_{actorder}')
+        export_real_quant(m, wspec, qcfg, out, backend='vllm')
+        flat = load_file(os.path.join(out, 'model.safetensors'))
+        for path in layout.linears:
+            lin = get_path(m.blocks[0], path)
+            pfx = f'model.layers.0.{path}'
+            codes = flat[f'{pfx}.weight'].astype(np.float32)
+            scales = flat[f'{pfx}.weight_scale'].astype(np.float32)
+            zeros = flat[f'{pfx}.weight_zero_point'].astype(np.float32)
+            gs = 32
+            if actorder:
+                assert f'{pfx}.weight_g_idx' in flat
+                g = flat[f'{pfx}.weight_g_idx']
+            else:
+                g = np.arange(codes.shape[1]) // gs
+            deq = (codes - zeros[:, g]) * scales[:, g]
+            expect = np.asarray(algo.static_w_qdq(lin), np.float32)
+            # weight_scale is stored fp16 (format convention): allow the
+            # resulting half-precision wobble
+            np.testing.assert_allclose(deq, expect, rtol=2e-3, atol=2e-3)

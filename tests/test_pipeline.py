@@ -164,3 +164,45 @@ def test_serving_engine_continuous_batching():
     ref = greedy_generate(m, jnp.asarray(prompts[0][None, :]), 6)
     got = np.asarray(ref)[0, len(prompts[0]):]
     np.testing.assert_array_equal(np.asarray(reqs[0].output_ids), got)
+
+
+def test_mixed_precision_per_block_ignore():
+    """ignored_layers.block_ids must be honored in the fake-quant EVAL
+    path (not only when saving): block 0's ignored layer stays exactly
+    FP while other blocks' weights quantize — regression for the flat
+    QMap overwriting per-block decisions with the last block's."""
+    from llmc_tpu.utils import Cfg, ALGO_REGISTRY
+    import llmc_tpu.compression  # noqa: F401
+    from llmc_tpu.models import build_model
+    from llmc_tpu.models.base import get_path
+    cfg = Cfg(tiny_config(
+        'RTN', wbit=4,
+        extra={'ignored_layers': {'block_ids': [0],
+                                  'layer_names': ['mlp.down_proj']}}))
+    model = build_model(cfg)
+    w0 = np.asarray(get_path(model.blocks[0], 'mlp.down_proj')['w']).copy()
+    w1 = np.asarray(get_path(model.blocks[1], 'mlp.down_proj')['w']).copy()
+    algo = ALGO_REGISTRY['RTN'](model, cfg['quant'],
+                                {'data': [], 'kwargs': []}, None, cfg)
+    algo.run_block_loop()
+    qmap = algo.deploy('fake_quant')
+    nb0 = np.asarray(get_path(model.blocks[0], 'mlp.down_proj')['w'])
+    nb1 = np.asarray(get_path(model.blocks[1], 'mlp.down_proj')['w'])
+    np.testing.assert_array_equal(nb0, w0)       # ignored: exactly FP
+    assert np.abs(nb1 - w1).max() > 0            # others: baked qdq
+    # weights baked -> no runtime double-quantization
+    assert qmap.get('mlp.down_proj') is None
+    assert qmap.get('self_attn.q_proj') is None
+
+
+def test_mixed_precision_ignore_end_to_end():
+    all_lin = ['self_attn.q_proj', 'self_attn.k_proj', 'self_attn.v_proj',
+               'self_attn.o_proj', 'mlp.gate_proj', 'mlp.up_proj',
+               'mlp.down_proj']
+    res = run(tiny_config(
+        'RTN', wbit=3,
+        extra={'ignored_layers': {'block_ids': [0, 1],
+                                  'layer_names': all_lin}}))
+    # every layer of every block ignored -> fake_quant must equal pretrain
+    assert res['ppl_fake_quant'] == pytest.approx(res['ppl_pretrain'],
+                                                  rel=1e-6)
