@@ -13,7 +13,8 @@ TPU-native redesign:
 - block.cuda()/cpu() streaming -> ``jax.device_put`` per block (the params
   already live on device here; streaming shows up for >HBM models).
 - NCCL all-reduce of statistics -> ``jax.lax.pmean``-style mesh reductions
-  (single-process here; the mesh hook is ``dp_mean``).
+  (batches arrive as dp-sharded global arrays — parallel/dp.py — so every
+  jitted statistic reduction psums across devices automatically).
 """
 
 from __future__ import annotations
@@ -350,7 +351,7 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
         algo = self.quant_config['act'].get('calib_algo', 'static_minmax')
         for key, batches in feats.items():
             qp = static_qparams_from_batches(self.aspec, batches, algo)
-            # DP-mean across ranks happens at the mesh level (dp_mean)
+            # with dp-sharded batches the range reductions psum globally
             self.static_aqparams[(idx, key)] = qp
 
     def update_input_feat(self, feats, subset, scales, is_gqa=False):

@@ -47,8 +47,27 @@ def _eval_ids(config, tokenizer) -> Optional[np.ndarray]:
     return np.asarray(tokenizer(text)['input_ids'], np.int32)
 
 
+def _apply_platform_env():
+    """LLMC_PLATFORM=cpu / LLMC_HOST_DEVICES=8: force the JAX platform
+    IN-PROCESS.  The axon environment pre-imports jax via sitecustomize
+    and scrubs JAX_PLATFORMS/XLA_FLAGS from the inherited env, so shell
+    prefixes silently land on the TPU tunnel — jax.config is the only
+    reliable switch (must run before first backend use)."""
+    plat = os.environ.get('LLMC_PLATFORM')
+    if not plat:
+        return
+    import jax
+    n = os.environ.get('LLMC_HOST_DEVICES')
+    flags = os.environ.get('XLA_FLAGS', '')
+    if n and 'xla_force_host_platform_device_count' not in flags:
+        os.environ['XLA_FLAGS'] = (
+            flags + f' --xla_force_host_platform_device_count={n}').strip()
+    jax.config.update('jax_platforms', plat)
+
+
 def run_pipeline(config: Dict) -> Dict:
     """Returns a result dict with eval metrics per position."""
+    _apply_platform_env()
     config = Cfg(config)
     check_config(config)
     # fail fast on unknown algorithms / invalid option combos before any
@@ -93,6 +112,15 @@ def run_pipeline(config: Dict) -> Dict:
                   for b in batches]
             xs, kws = model.collect_first_block_input(jb)
             inputs = {'data': xs, 'kwargs': kws}
+            dp = int((config.get('parallel', {}) or {}).get('dp', 1) or 1)
+            if dp > 1:
+                # shard the calibration batch over the dp mesh axis: every
+                # statistic the engine computes (Hessians, grid losses,
+                # clip/static ranges) is a jitted reduction, so GSPMD
+                # inserts the cross-device psums the reference does with
+                # NCCL all-reduce (gptq.py:292-295, awq.py:255-273)
+                from .parallel.dp import dp_calib_mesh, shard_inputs_dict
+                inputs = shard_inputs_dict(dp_calib_mesh(dp), inputs)
         else:
             inputs, padding_mask = {'data': [], 'kwargs': []}, None
         algo_cls = ALGO_REGISTRY[mcfg['method']]

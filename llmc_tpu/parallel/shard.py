@@ -97,12 +97,3 @@ def shard_params(params, mesh: Mesh):
 
 def data_pspec() -> P:
     return P('dp')
-
-
-def dp_mean(x, mesh: Optional[Mesh] = None):
-    """Mean of a statistic across the dp axis — the TPU analog of the
-    reference's dist.all_reduce(SUM)/world (gptq.py:292-295).  Inside
-    shard_map/pjit contexts use lax.pmean('dp') directly; at the host
-    level with GSPMD, statistics computed from dp-sharded batches are
-    already globally correct, so this is an identity hook."""
-    return x

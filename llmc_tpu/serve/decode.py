@@ -22,6 +22,88 @@ from .kvcache import KVCachePolicy
 F32 = jnp.float32
 FP_POLICY = KVCachePolicy(method='fp')
 
+# Chunked decode attention (fast path): read only the VALID prefix of the
+# KV cache in chunks with an online softmax, instead of materializing and
+# masking the full padded buffer every step.  The dynamic-trip-count
+# while loop serializes chunk DMAs, so it only wins when the padded tail
+# is large relative to the valid prefix (long max_len, short contexts) —
+# below CHUNKED_MIN_LEN the single big masked read pipelines better.
+# Toggles for A/B tests (env: LLMC_CHUNKED=0/1, LLMC_CHUNKED_MIN=N).
+import os as _os
+CHUNKED_DECODE = _os.environ.get('LLMC_CHUNKED', '1') == '1'
+CHUNKED_MIN_LEN = int(_os.environ.get('LLMC_CHUNKED_MIN', '512'))
+_CHUNK_OPTS = (512, 256, 128, 64, 32)
+
+
+def _chunk_for(smax: int):
+    for c in _CHUNK_OPTS:
+        if smax % c == 0:
+            return c
+    return None
+
+
+def _decode_attn_chunked(q, cache, layer, policy, cfg, chunk: int):
+    """q: [B, 1, H, hd] (pre-scaled).  Returns ctx [B, 1, H, hd].
+
+    Online-softmax accumulation over KV chunks with a DYNAMIC trip count
+    ceil((pos+1)/chunk) — the padded tail of the cache is never read.
+    Supports policy.method in ('fp', 'naive'); GQA handled by grouping
+    q heads per kv head (no jnp.repeat materialization)."""
+    B, _, H, hd = q.shape
+    KVH = cfg.num_key_value_heads
+    G = H // KVH
+    # pos may be scalar (lockstep) or per-slot [B] (serving engine)
+    pos = jnp.broadcast_to(jnp.asarray(cache['pos']), (B,))
+    total = jnp.max(pos) + 1             # valid tokens incl. current step
+    n_chunks = (total + chunk - 1) // chunk
+    fp = policy.method == 'fp'
+    kbuf = cache['k'] if fp else cache['k_q']
+    vbuf = cache['v'] if fp else cache['v_q']
+    qg = q[:, 0].reshape(B, KVH, G, hd).astype(F32)
+
+    def read_chunk(buf, sbuf, zbuf, off):
+        c = jax.lax.dynamic_slice(
+            buf, (layer, 0, off, 0, 0),
+            (1, B, chunk, KVH, hd))[0]
+        if fp:
+            return c.astype(F32)
+        s = jax.lax.dynamic_slice(
+            sbuf, (layer, 0, off, 0, 0), (1, B, chunk, KVH, 1))[0]
+        out = c.astype(F32)
+        if zbuf is not None:
+            z = jax.lax.dynamic_slice(
+                zbuf, (layer, 0, off, 0, 0), (1, B, chunk, KVH, 1))[0]
+            out = out - z
+        return out * s
+
+    ks, kz = ((None, None) if fp else
+              (cache['k_s'], cache.get('k_z')))
+    vs, vz = ((None, None) if fp else
+              (cache['v_s'], cache.get('v_z')))
+
+    def body(c, carry):
+        m, l, acc = carry
+        off = c * chunk
+        k_c = read_chunk(kbuf, ks, kz, off)      # [B, chunk, KVH, hd] f32
+        v_c = read_chunk(vbuf, vs, vz, off)
+        s = jnp.einsum('bkgd,bskd->bkgs', qg, k_c)   # [B, KVH, G, chunk]
+        idx = off + jnp.arange(chunk)
+        s = jnp.where(idx[None, None, None, :]
+                      <= pos[:, None, None, None], s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum('bkgs,bskd->bkgd', p, v_c)
+        return m_new, l, acc
+
+    m0 = jnp.full((B, KVH, G), -jnp.inf, F32)
+    l0 = jnp.zeros((B, KVH, G), F32)
+    a0 = jnp.zeros((B, KVH, G, hd), F32)
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, a0))
+    ctx = acc / jnp.maximum(l[..., None], 1e-30)
+    return ctx.reshape(B, 1, H, hd)
+
 
 def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
     """One decoder block with cache read/write.  Honors the generalized
@@ -70,38 +152,58 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
         q, k = L.apply_rope(q, k, ci, si,
                             interleaved=cfg.rope_interleaved)
     cache = policy.update(cache, layer, k, v)
-    k_full, v_full = policy.read(cache, layer, x.dtype)
-    if KVH != H:
-        rep = H // KVH
-        k_full = jnp.repeat(k_full, rep, axis=2)
-        v_full = jnp.repeat(v_full, rep, axis=2)
-    Smax = k_full.shape[1]
-    pos = cache['pos']
     qs = cfg.query_pre_attn_scalar
     scale = 1.0 / ((qs if qs else hd) ** 0.5)
-    scores = jnp.einsum('bqhd,bkhd->bhqk', q, k_full,
-                        preferred_element_type=F32) * scale
-    cap = cfg.attn_logit_softcap
-    if cap:
-        scores = cap * jnp.tanh(scores / cap)
-    kv_idx = jnp.arange(Smax)[None, :]
-    if cfg.use_alibi:
-        slopes = L._alibi_slopes(H) * (scale if cfg.alibi_scaled else 1.0)
-        scores = scores + (slopes[:, None, None]
-                           * kv_idx.astype(F32)[None])
-    q_idx = pos + jnp.arange(S)[:, None]
-    valid = kv_idx <= q_idx
-    if cfg.sliding_window:
-        # HF Gemma2 convention: even layers use the sliding window
-        win_ok = (q_idx - kv_idx) < cfg.sliding_window
-        valid = valid & jnp.where(layer % 2 == 0, win_ok, True)
-    sink_mask = policy.attention_mask_offset(pos + S, Smax)
-    if sink_mask is not None:
-        valid = valid & sink_mask[None, :]
-    scores = jnp.where(valid[None, None], scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum('bhqk,bkhd->bqhd', probs, v_full,
-                     preferred_element_type=F32).astype(x.dtype)
+    kbuf = cache.get('k') if policy.method in ('fp', 'sink') \
+        else cache.get('k_q')
+    Smax = kbuf.shape[2]
+    chunkc = _chunk_for(Smax)
+    if (CHUNKED_DECODE and S == 1 and Smax >= CHUNKED_MIN_LEN
+            and policy.method in ('fp', 'naive')
+            and not cfg.use_alibi and not cfg.attn_logit_softcap
+            and not cfg.sliding_window and chunkc is not None):
+        ctx = _decode_attn_chunked(q.astype(F32) * scale, cache, layer,
+                                   policy, cfg, chunkc).astype(x.dtype)
+    else:
+        k_full, v_full = policy.read(cache, layer, x.dtype)
+        if KVH != H:
+            rep = H // KVH
+            k_full = jnp.repeat(k_full, rep, axis=2)
+            v_full = jnp.repeat(v_full, rep, axis=2)
+        pos = cache['pos']
+        scores = jnp.einsum('bqhd,bkhd->bhqk', q, k_full,
+                            preferred_element_type=F32) * scale
+        cap = cfg.attn_logit_softcap
+        if cap:
+            scores = cap * jnp.tanh(scores / cap)
+        kv_idx = jnp.arange(Smax)
+        if cfg.use_alibi:
+            slopes = L._alibi_slopes(H) * (scale if cfg.alibi_scaled
+                                           else 1.0)
+            scores = scores + (slopes[:, None, None]
+                               * kv_idx.astype(F32)[None, None])
+        if getattr(pos, 'ndim', 0) == 1:   # per-slot positions [B]
+            q_idx = pos[:, None, None] + jnp.arange(S)[None, :, None]
+            valid = kv_idx[None, None, :] <= q_idx       # [B, S, Smax]
+        else:
+            q_idx = pos + jnp.arange(S)[:, None]
+            valid = kv_idx[None, :] <= q_idx             # [S, Smax]
+        if cfg.sliding_window:
+            # HF Gemma2 convention: even layers use the sliding window
+            win_ok = (q_idx - kv_idx.reshape(
+                (1,) * (q_idx.ndim - 1) + (-1,))) < cfg.sliding_window
+            valid = valid & jnp.where(layer % 2 == 0, win_ok, True)
+        if getattr(pos, 'ndim', 0) != 1:
+            sink_mask = policy.attention_mask_offset(pos + S, Smax)
+            if sink_mask is not None:
+                valid = valid & sink_mask[None, :]
+            valid = valid[None, None]                    # [1, 1, S, Smax]
+        else:
+            valid = valid[:, None]                       # [B, 1, S, Smax]
+        scores = jnp.where(valid, scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum('bhqk,bkhd->bqhd', probs, v_full,
+                         preferred_element_type=F32).astype(x.dtype)
     attn_out = linear_apply(p['o_proj'], ctx.reshape(B, S, H * hd),
                             qc('self_attn.o_proj'))
 
@@ -158,7 +260,11 @@ def forward_cached(params, cfg, ids, cache, policy, qmap=None,
     with cache['pos'] advanced.  Pass ``stacked_blocks``
     (stack_block_params result) to use the scan-over-layers path."""
     S = ids.shape[1]
-    positions = cache['pos'] + jnp.arange(S)[None, :]
+    pos0 = cache['pos']
+    if getattr(pos0, 'ndim', 0) == 1:    # per-slot positions [B]
+        positions = pos0[:, None] + jnp.arange(S)[None, :]
+    else:
+        positions = pos0 + jnp.arange(S)[None, :]
     x = L.embed_apply(params, cfg, ids, positions=positions)
     cos, sin = L.rope_cos_sin(cfg, positions)
     if stacked_blocks is not None:

@@ -3,16 +3,22 @@
 Net-new vs the reference (SURVEY.md §2.14/§7: llmc has no serving
 runtime; it exports to vLLM/SGLang/...).  TPU-native design:
 
-- fixed B decode slots; the decode step is ONE jitted program over all
-  slots (per-slot positions, masked attention) — slots join/leave without
-  recompilation;
-- prefill runs per request (bucketed lengths → few compiles) and writes
-  its KV into the request's slot;
+- fixed B decode slots with PER-SLOT positions; the decode step is ONE
+  jitted ``forward_cached`` call over all slots (vector ``cache['pos']``,
+  masked attention) — slots join/leave without recompilation;
+- the decode graph is the SAME generalized block as eval/bench
+  (``decode._block_cached``): softcaps, sandwich norms, LN/alibi, GQA,
+  qk-norm, packed int4/int8 weights (Pallas dequant-matmul via QMap) and
+  quantized KV policies all work in serving;
+- prefill runs per request (bucketed lengths → few compiles) through the
+  same path on a local cache, then splices every cache field (codes,
+  scales, FP buffers alike) into the request's slot;
+- sampling: greedy, temperature, nucleus (top-p), seeded PRNG;
+- tensor parallelism: pass a Mesh — params are expected TP-sharded
+  (parallel.shard.shard_params) and the KV cache shards over the kv-head
+  dim; XLA inserts the collectives;
 - the host-side scheduler (pure python) admits requests to free slots,
-  steps the batch, emits tokens, retires finished requests —
-  the "continuous batching scheduler on host" of SURVEY.md §7;
-- weights may be packed int4/int8 (QMap with w_packed) so decode rides
-  the Pallas fused dequant-matmul.
+  steps the batch, emits tokens, retires finished requests.
 """
 
 from __future__ import annotations
@@ -25,10 +31,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models import llama as L
-from ..models.base import linear_apply, rms_norm
+from .decode import (blocks_homogeneous, forward_cached,
+                     stack_block_params)
+from .kvcache import KVCachePolicy
 
 F32 = jnp.float32
+FP = KVCachePolicy(method='fp')
 
 
 @dataclasses.dataclass
@@ -42,22 +50,64 @@ class Request:
     done: bool = False
 
 
+def sample_logits(logits, key, temperature: float, top_p: float):
+    """[B, V] logits -> [B] token ids.  temperature==0 -> greedy."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    l = logits.astype(F32) / temperature
+    if top_p < 1.0:
+        sorted_l = jnp.sort(l, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_l, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest prefix with cumulative mass >= top_p
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)          # [B]
+        cutoff = jnp.take_along_axis(sorted_l, cutoff_idx[:, None],
+                                     axis=-1)               # [B, 1]
+        l = jnp.where(l < cutoff, -jnp.inf, l)
+    return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
+
+
 class ServingEngine:
     def __init__(self, model, qmap=None, max_batch: int = 8,
-                 max_len: int = 1024,
+                 max_len: int = 1024, kv_policy: KVCachePolicy = FP,
+                 temperature: float = 0.0, top_p: float = 1.0,
+                 mesh=None, seed: int = 0,
                  prefill_buckets=(32, 64, 128, 256, 512)):
         self.model = model
         self.cfg = model.cfg
         self.qmap = qmap
+        self.policy = kv_policy
+        assert kv_policy.method in ('fp', 'naive'), \
+            'engine supports fp / quantized (naive) KV policies'
+        self.temperature = float(temperature)
+        self.top_p = float(top_p)
+        self.mesh = mesh
         self.B = max_batch
         self.S = max_len
         self.buckets = [b for b in prefill_buckets if b <= max_len]
         cfg = self.cfg
-        Lc = cfg.num_hidden_layers
-        shape = (Lc, self.B, self.S, cfg.num_key_value_heads, cfg.head_dim)
-        self.cache_k = jnp.zeros(shape, cfg.jdtype)
-        self.cache_v = jnp.zeros(shape, cfg.jdtype)
-        self.pos = jnp.zeros((self.B,), jnp.int32)
+        params = model.params
+        if blocks_homogeneous(params['blocks']):
+            self.stacked = stack_block_params(params['blocks'])
+            self.params = dict(params, blocks=[])
+        else:
+            self.stacked = None
+            self.params = params
+        cache = kv_policy.init_cache(
+            self.B, self.S, cfg.num_key_value_heads, cfg.head_dim,
+            cfg.num_hidden_layers, dtype=cfg.jdtype)
+        # per-slot positions: the engine's slots decode at different
+        # offsets within one jitted step
+        cache['pos'] = jnp.zeros((self.B,), jnp.int32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            kv_spec = NamedSharding(mesh, P(None, None, None, 'tp', None))
+            rep = NamedSharding(mesh, P())
+            cache = {k: (jax.device_put(v, kv_spec) if v.ndim == 5
+                         else jax.device_put(v, rep))
+                     for k, v in cache.items()}
+        self.cache = cache
+        self.key = jax.random.PRNGKey(seed)
         self.active = np.zeros((self.B,), bool)
         self.last_tok = jnp.zeros((self.B,), jnp.int32)
         self.slot_req: List[Optional[Request]] = [None] * self.B
@@ -67,88 +117,41 @@ class ServingEngine:
         self._decode_jit = jax.jit(self._decode_step)
 
     # ------------------------------------------------------------------
-    # jitted programs
+    # jitted programs — both ride decode.forward_cached (ONE decode path)
     # ------------------------------------------------------------------
-    def _block_token(self, bp, x, cos, sin, cache_k, cache_v, layer,
-                     pos_vec, active_mask):
-        """One decoder block for one token per slot ([B,1,D])."""
-        cfg = self.cfg
-        B = self.B
-        H, KVH, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                      cfg.head_dim)
-        h = rms_norm(x, bp['input_layernorm']['w'], cfg.rms_norm_eps)
-        p = bp['self_attn']
+    def _decode_step(self, params, stacked, toks, cache, active, key):
+        pos_before = cache['pos']
+        logits, cache = forward_cached(params, self.cfg, toks[:, None],
+                                       cache, self.policy, self.qmap,
+                                       stacked_blocks=stacked)
+        nxt = sample_logits(logits[:, -1], key, self.temperature,
+                            self.top_p)
+        # inactive slots neither advance nor keep the sampled token
+        cache = dict(cache, pos=jnp.where(active, cache['pos'],
+                                          pos_before))
+        return nxt, cache
 
-        def qc(name):
-            return self.qmap.get(name) if self.qmap is not None else None
-        q = linear_apply(p['q_proj'], h, qc('self_attn.q_proj')).reshape(
-            B, 1, H, hd)
-        k = linear_apply(p['k_proj'], h, qc('self_attn.k_proj')).reshape(
-            B, 1, KVH, hd)
-        v = linear_apply(p['v_proj'], h, qc('self_attn.v_proj')).reshape(
-            B, 1, KVH, hd)
-        if cfg.use_qk_norm:
-            q = rms_norm(q, p['q_norm']['w'], cfg.rms_norm_eps)
-            k = rms_norm(k, p['k_norm']['w'], cfg.rms_norm_eps)
-        q, k = L.apply_rope(q, k, cos, sin)
-        barange = jnp.arange(B)
-        cache_k = cache_k.at[layer, barange, pos_vec].set(
-            k[:, 0].astype(cache_k.dtype))
-        cache_v = cache_v.at[layer, barange, pos_vec].set(
-            v[:, 0].astype(cache_v.dtype))
-        k_full, v_full = cache_k[layer], cache_v[layer]
-        if KVH != H:
-            rep = H // KVH
-            k_full = jnp.repeat(k_full, rep, axis=2)
-            v_full = jnp.repeat(v_full, rep, axis=2)
-        scores = jnp.einsum('bqhd,bkhd->bhqk', q, k_full,
-                            preferred_element_type=F32) / (hd ** 0.5)
-        valid = jnp.arange(self.S)[None, :] <= pos_vec[:, None]  # [B,S]
-        scores = jnp.where(valid[:, None, None, :], scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        ctx = jnp.einsum('bhqk,bkhd->bqhd', probs, v_full,
-                         preferred_element_type=F32).astype(x.dtype)
-        out = linear_apply(p['o_proj'], ctx.reshape(B, 1, H * hd),
-                           qc('self_attn.o_proj'))
-        x = x + out
-        h = rms_norm(x, bp['post_attention_layernorm']['w'],
-                     cfg.rms_norm_eps)
-        mlp_out, _ = L.mlp_apply(bp['mlp'], h, self.qmap)
-        return x + mlp_out, cache_k, cache_v
-
-    def _decode_step(self, params, toks, pos_vec, cache_k, cache_v,
-                     active):
+    def _prefill(self, params, stacked, ids, slot, p_last, cache, slen):
+        """One request ([1, slen]) through the full graph on a local
+        cache, then splice EVERY cache field into the slot (policy-
+        agnostic: quantized codes/scales copy the same way as FP)."""
         cfg = self.cfg
-        x = L.embed_apply(params, cfg, toks[:, None])
-        cos, sin = L.rope_cos_sin(cfg, pos_vec[:, None])
-        for layer, bp in enumerate(params['blocks']):
-            x, cache_k, cache_v = self._block_token(
-                bp, x, cos, sin, cache_k, cache_v, layer, pos_vec, active)
-        logits = L.head_apply(params, cfg, x)[:, 0]
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        pos_vec = jnp.where(active, pos_vec + 1, pos_vec)
-        return nxt, pos_vec, cache_k, cache_v
-
-    def _prefill(self, params, ids, slot, p_last, cache_k, cache_v,
-                 slen):
-        """Single-request prefill ([1, slen]) writing into slot; p_last
-        is the index of the final real (non-pad) prompt token."""
-        cfg = self.cfg
-        from .decode import forward_cached
-        from .kvcache import KVCachePolicy
-        policy = KVCachePolicy(method='fp')
-        local = policy.init_cache(1, slen, cfg.num_key_value_heads,
-                                  cfg.head_dim, cfg.num_hidden_layers,
-                                  dtype=cfg.jdtype)
-        logits, local = forward_cached(params, cfg, ids, local, policy,
-                                       self.qmap)
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, local['k'], (0, slot, 0, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, local['v'], (0, slot, 0, 0, 0))
+        local = self.policy.init_cache(
+            1, slen, cfg.num_key_value_heads, cfg.head_dim,
+            cfg.num_hidden_layers, dtype=cfg.jdtype)
+        logits, local = forward_cached(params, cfg, ids, local,
+                                       self.policy, self.qmap,
+                                       stacked_blocks=stacked)
+        for k, v in local.items():
+            if v.ndim < 3:           # pos / scalar bookkeeping
+                continue
+            cache = dict(cache, **{k: jax.lax.dynamic_update_slice(
+                cache[k], v.astype(cache[k].dtype), (0, slot) +
+                (0,) * (v.ndim - 2))})
         last = jnp.take(logits[0], p_last, axis=0)
-        nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
-        return nxt, cache_k, cache_v
+        nxt = sample_logits(last[None], jax.random.PRNGKey(0),
+                            0.0, 1.0)[0]   # first token greedy
+        return nxt, cache
 
     # ------------------------------------------------------------------
     # host scheduler
@@ -158,7 +161,6 @@ class ServingEngine:
         self.queue.append(req)
 
     def _admit(self):
-        params = self.model.params
         for b in range(self.B):
             if self.active[b] or not self.queue:
                 continue
@@ -170,12 +172,13 @@ class ServingEngine:
             pad = bucket - P
             if pad:
                 ids = np.pad(ids, ((0, 0), (0, pad)))
-            nxt, self.cache_k, self.cache_v = self._prefill_jit(
-                params, jnp.asarray(ids), b, P - 1, self.cache_k,
-                self.cache_v, slen=bucket)
-            # position = P (padding tokens beyond P are overwritten later;
-            # attention masks at pos so they are never read)
-            self.pos = self.pos.at[b].set(P)
+            nxt, self.cache = self._prefill_jit(
+                self.params, self.stacked, jnp.asarray(ids), b, P - 1,
+                self.cache, slen=bucket)
+            # position = P (padding beyond P is never read: attention
+            # masks at pos, and decode overwrites from P on)
+            self.cache = dict(self.cache,
+                              pos=self.cache['pos'].at[b].set(P))
             self.last_tok = self.last_tok.at[b].set(nxt)
             self.active[b] = True
             self.slot_req[b] = req
@@ -186,13 +189,14 @@ class ServingEngine:
         self._admit()
         if not self.active.any():
             return False
-        params = self.model.params
         act = jnp.asarray(self.active)
-        nxt, self.pos, self.cache_k, self.cache_v = self._decode_jit(
-            params, self.last_tok, self.pos, self.cache_k, self.cache_v,
-            act)
+        self.key, sub = jax.random.split(self.key)
+        nxt, self.cache = self._decode_jit(
+            self.params, self.stacked, self.last_tok, self.cache, act,
+            sub)
         self.last_tok = jnp.where(act, nxt, self.last_tok)
         nxt_np = np.asarray(nxt)
+        pos_np = np.asarray(self.cache['pos'])
         for b in range(self.B):
             if not self.active[b]:
                 continue
@@ -201,7 +205,7 @@ class ServingEngine:
             hit_eos = (req.eos_id is not None
                        and req.output_ids[-1] == req.eos_id)
             if len(req.output_ids) >= req.max_new_tokens or hit_eos \
-                    or int(self.pos[b]) >= self.S - 1:
+                    or int(pos_np[b]) >= self.S - 1:
                 req.done = True
                 self.active[b] = False
                 self.slot_req[b] = None

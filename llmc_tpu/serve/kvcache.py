@@ -150,7 +150,16 @@ class KVCachePolicy:
 
 
 def _upd(buf, layer, pos, new):
-    """buf: [L,B,S,KH,hd]; write new [B,s,KH,hd] at [layer,:,pos:pos+s]."""
+    """buf: [L,B,S,KH,hd]; write new [B,s,KH,hd] at [layer,:,pos:pos+s].
+
+    ``pos`` may be a scalar (lockstep decode/prefill) or a [B] vector of
+    per-slot positions (continuous-batching engine) — the vector case
+    scatters each slot's tokens at its own offset."""
+    if getattr(pos, 'ndim', 0) == 1:
+        B, s = new.shape[0], new.shape[1]
+        idx = pos[:, None] + jnp.arange(s)[None, :]        # [B, s]
+        return buf.at[layer, jnp.arange(B)[:, None], idx].set(
+            new.astype(buf.dtype))
     return jax.lax.dynamic_update_slice(
         buf, new[None].astype(buf.dtype),
         (layer, 0, pos, 0, 0))

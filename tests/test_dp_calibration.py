@@ -1,0 +1,102 @@
+"""Data-parallel calibration parity: sharding the calibration batch over
+the dp mesh axis must reproduce the single-device results on the same
+data (the reference's NCCL statistic all-reduces, gptq.py:292-295 /
+awq.py:255-273, expressed as GSPMD reductions over dp-sharded batches).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llmc_tpu.utils import Cfg, ALGO_REGISTRY
+import llmc_tpu.compression  # noqa: F401
+from llmc_tpu.models import build_model
+from llmc_tpu.models.base import get_path
+from llmc_tpu.parallel.dp import dp_calib_mesh, shard_inputs_dict
+
+from test_pipeline import tiny_config
+
+DP = 4
+
+
+def _calib_inputs(model, n_samples=8, seq=16, seed=3):
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(0, model.cfg.vocab_size, size=(n_samples, seq))
+    xs, kws = model.collect_first_block_input(
+        [{'input_ids': jnp.asarray(ids)}])
+    return {'data': xs, 'kwargs': kws}
+
+
+def _run(method, special=None, dp=None, act=None):
+    cfg = Cfg(tiny_config(method, wbit=4, special=special, act=act))
+    model = build_model(cfg)
+    inputs = _calib_inputs(model)
+    if dp:
+        mesh = dp_calib_mesh(dp)
+        inputs = shard_inputs_dict(mesh, inputs)
+    algo = ALGO_REGISTRY[method](model, cfg['quant'], inputs, None, cfg)
+    algo.run_block_loop()
+    return model, algo
+
+
+def _block_weights(model):
+    out = {}
+    for b in range(model.n_blocks):
+        blk = model.blocks[b]
+        for path in model.get_layout().linears:
+            lin = get_path(blk, path)
+            out[f'{b}.{path}'] = np.asarray(lin['w'], np.float32)
+    return out
+
+
+@pytest.mark.parametrize('method,special', [
+    ('GPTQ', {'actorder': False}),
+    ('Awq', {'trans': True, 'weight_clip': True, 'clip_version': 'v1'}),
+])
+def test_dp_calibration_matches_single_device(method, special):
+    if len(jax.devices()) < DP:
+        pytest.skip('needs a multi-device mesh')
+    m1, _ = _run(method, special)
+    m2, _ = _run(method, special, dp=DP)
+    w1, w2 = _block_weights(m1), _block_weights(m2)
+    for k in w1:
+        np.testing.assert_allclose(
+            w1[k], w2[k], rtol=2e-4, atol=2e-5,
+            err_msg=f'{method} dp={DP} diverged at {k}')
+
+
+def test_dp_static_act_scales_match():
+    if len(jax.devices()) < DP:
+        pytest.skip('needs a multi-device mesh')
+    act = {'bit': 8, 'symmetric': True, 'granularity': 'per_tensor',
+           'static': True, 'calib_algo': 'static_minmax'}
+    _, a1 = _run('RTN', act=act)
+    _, a2 = _run('RTN', act=act, dp=DP)
+    assert a1.static_aqparams.keys() == a2.static_aqparams.keys()
+    for k in a1.static_aqparams:
+        np.testing.assert_allclose(
+            np.asarray(a1.static_aqparams[k].scales),
+            np.asarray(a2.static_aqparams[k].scales), rtol=1e-6,
+            err_msg=f'static act scale diverged at {k}')
+
+
+def test_dp_hessian_is_global():
+    """The GPTQ Hessian computed from a dp-sharded batch must equal the
+    Hessian of the full batch (the xᵀx contraction crosses the sharded
+    dim, so GSPMD inserts the psum)."""
+    if len(jax.devices()) < DP:
+        pytest.skip('needs a multi-device mesh')
+    from llmc_tpu.parallel.dp import shard_calib_batches
+    cfg = Cfg(tiny_config('GPTQ'))
+    model = build_model(cfg)
+    algo = ALGO_REGISTRY['GPTQ'](model, cfg['quant'],
+                                 {'data': [], 'kwargs': []}, None, cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 16, 64).astype(np.float32))
+    H_local = np.asarray(algo._hessian([x]))
+    mesh = dp_calib_mesh(DP)
+    (xs,) = shard_calib_batches(mesh, [x])
+    H_dp = np.asarray(algo._hessian([xs]))
+    np.testing.assert_allclose(H_dp, H_local, rtol=1e-5, atol=1e-5)

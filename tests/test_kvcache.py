@@ -113,3 +113,42 @@ def test_sink_mask_shape():
     assert m[:2].all()            # sinks always valid
     assert m[6:10].all()          # recent window valid
     assert not m[2:6].any()       # evicted middle
+
+
+@pytest.mark.parametrize('policy_kw', [
+    dict(method='fp'),
+    dict(method='naive', bit=8),
+    dict(method='naive', bit=8, symmetric=False),
+    dict(method='naive', bit=4),
+])
+def test_chunked_decode_matches_full_read(model, ids, policy_kw):
+    """The chunked valid-length decode attention must reproduce the
+    full-buffer masked attention (same cache contents, online softmax)."""
+    from llmc_tpu.serve import decode as D
+    pol = KVCachePolicy(**policy_kw)
+    old = D.CHUNKED_DECODE
+    try:
+        D.CHUNKED_DECODE = True
+        nll_c, n = decode_nll(model, ids, kv_policy=pol)
+        D.CHUNKED_DECODE = False
+        nll_f, _ = decode_nll(model, ids, kv_policy=pol)
+    finally:
+        D.CHUNKED_DECODE = old
+    np.testing.assert_allclose(float(nll_c), float(nll_f), rtol=2e-4,
+                               err_msg=str(policy_kw))
+
+
+def test_chunked_decode_gqa_generate(model):
+    """GQA grouping in the chunked path: greedy tokens must match the
+    full-read path exactly."""
+    from llmc_tpu.serve import decode as D
+    prompt = jnp.asarray(np.random.RandomState(5).randint(0, 128, (2, 8)))
+    old = D.CHUNKED_DECODE
+    try:
+        D.CHUNKED_DECODE = True
+        out_c = np.asarray(greedy_generate(model, prompt, 24))
+        D.CHUNKED_DECODE = False
+        out_f = np.asarray(greedy_generate(model, prompt, 24))
+    finally:
+        D.CHUNKED_DECODE = old
+    np.testing.assert_array_equal(out_c, out_f)
