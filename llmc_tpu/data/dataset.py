@@ -44,7 +44,8 @@ class CalibDataset:
 
     # --- sources --------------------------------------------------------
     def _build(self):
-        if self.name in ('synthetic', 'synthetic_vlm', 'synthetic_img'):
+        if self.name in ('synthetic', 'synthetic_vlm', 'synthetic_img',
+                         'synthetic_qwen2vl'):
             return None  # generated directly in get_calib_dataset
         if self.name == 'custom_txt':
             return self._load_custom_txt(self.path)
@@ -102,6 +103,29 @@ class CalibDataset:
                 px = rng.randn(1, chans, img_size, img_size)
                 batches.append({'input_ids': ids.astype(np.int32),
                                 'pixel_values': px.astype(np.float32)})
+            return batches, None
+        if self.name == 'synthetic_qwen2vl':
+            # Qwen2-VL processor-layout batches: flattened patches
+            # [n, C*T*p*p] + static grid; ids carry vision_start + the
+            # MERGED number of image placeholders
+            rng = np.random.RandomState(self.seed + rank)
+            vocab = int(self.cfg.get('vocab_size', 32000))
+            img_tok = int(self.cfg.get('image_token', vocab))
+            vstart = int(self.cfg.get('vision_start_token', vocab + 1))
+            h, w = self.cfg.get('grid_hw', (4, 4))
+            merge = int(self.cfg.get('spatial_merge_size', 2))
+            pdim = int(self.cfg.get('patch_dim', 3 * 2 * 14 * 14))
+            n = h * w
+            merged = n // (merge * merge)
+            batches = []
+            for _ in range(self.n_samples):
+                ids = rng.randint(0, vocab, size=(1, self.seq_len))
+                ids[0, 1] = vstart
+                ids[0, 2:2 + merged] = img_tok
+                patches = rng.randn(n, pdim).astype(np.float32)
+                batches.append({'input_ids': ids.astype(np.int32),
+                                'pixel_patches': patches,
+                                'grid_thw': (1, h, w)})
             return batches, None
         if self.name == 'synthetic_img':
             # vision-only batches (ViT calib; reference img preprocs)

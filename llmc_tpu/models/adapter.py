@@ -17,9 +17,11 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.registry import MODEL_REGISTRY
-from .base import BlockLayout, LinearQcfg, get_path, set_path
+from .base import (BlockLayout, LinearQcfg, get_path,
+                   linear_apply, set_path)
 from . import llama as L
 
 F32 = jnp.float32
@@ -1266,6 +1268,176 @@ class LlavaAdapter(LlamaAdapter):
         return self._LV.llava_forward(self.params, self.llava_cfg,
                                       input_ids, pixel_values, qmap=qmap,
                                       token_reduction=token_reduction)
+
+
+@MODEL_REGISTRY.register(name='Qwen2vl')
+class Qwen2VLAdapter(LlamaAdapter):
+    """Qwen2-VL (reference llmc/models/qwen2vl.py): ViT tower with 2D
+    rope + patch merger + Qwen2 LM with M-RoPE.  Two-modality compression
+    like Llava; calib batches may carry ``pixel_patches`` (HF processor
+    layout [n, C*T*p*p]) + ``grid_thw``."""
+
+    name = 'Qwen2vl'
+
+    def __init__(self, cfg, params, tokenizer=None, hf_config=None):
+        from . import qwen2vl as QV
+        self._QV = QV
+        self.vl_cfg = cfg
+        BaseAdapter.__init__(self, cfg.text, params, tokenizer, hf_config)
+        self._modality = 'language'
+        self._layout = L.llama_layout(cfg.text)
+        self._vlayout = L.llama_layout(cfg.vision)
+
+    # --- constructors ---------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from . import qwen2vl as QV
+        from .hf_loader import load_hf_config, load_hf_tensors
+        hf = load_hf_config(path)
+        tc_hf = hf.get('text_config', hf)
+        tcfg = L.LlamaConfig.from_hf(dict(tc_hf, attention_bias=True))
+        v = hf['vision_config']
+        embed = v.get('embed_dim', v.get('hidden_size', 1280))
+        vcfg = QV.Qwen2VLConfig.vit_block_cfg(
+            embed, int(embed * v.get('mlp_ratio', 4)),
+            v.get('depth', 32), v.get('num_heads', 16),
+            v.get('hidden_act', 'quick_gelu'))
+        rs = tc_hf.get('rope_scaling') or {}
+        cfg = QV.Qwen2VLConfig(
+            text=tcfg, vision=vcfg,
+            mrope_section=tuple(rs.get('mrope_section', (16, 24, 24))),
+            spatial_merge_size=v.get('spatial_merge_size', 2),
+            patch_size=v.get('patch_size', 14),
+            temporal_patch_size=v.get('temporal_patch_size', 2),
+            num_channels=v.get('in_channels', 3),
+            image_token_id=hf.get('image_token_id', 151655),
+            video_token_id=hf.get('video_token_id', 151656),
+            vision_start_token_id=hf.get('vision_start_token_id',
+                                         151652))
+        flat = load_hf_tensors(path, dtype=dtype)
+        params = QV.params_from_hf(flat, cfg)
+        tok = None
+        try:
+            from transformers import AutoTokenizer
+            tok = AutoTokenizer.from_pretrained(path)
+        except Exception:
+            pass
+        return cls(cfg, params, tok, hf)
+
+    @classmethod
+    def from_config(cls, config):
+        from . import qwen2vl as QV
+        m = config['model']
+        if m.get('path'):
+            return cls.from_pretrained(m['path'])
+        arch = dict(m.get('arch', {}))
+        varch = arch.pop('vision', {})
+        embed = varch.get('hidden_size', 32)
+        vcfg = QV.Qwen2VLConfig.vit_block_cfg(
+            embed, varch.get('intermediate_size', 64),
+            varch.get('num_hidden_layers', 2),
+            varch.get('num_attention_heads', 2))
+        extra = {k: arch.pop(k) for k in
+                 ('patch_size', 'temporal_patch_size', 'image_token_id',
+                  'vision_start_token_id', 'mrope_section')
+                 if k in arch}
+        if 'mrope_section' in extra:
+            extra['mrope_section'] = tuple(extra['mrope_section'])
+        arch.setdefault('attention_bias', True)
+        cfg = QV.Qwen2VLConfig(text=L.LlamaConfig(**arch), vision=vcfg,
+                               **extra)
+        key = jax.random.PRNGKey(int(m.get('seed', 0)))
+        return cls(cfg, QV.init_params(cfg, key))
+
+    # --- modality dispatch ---------------------------------------------
+    def set_modality(self, modality: str):
+        assert modality in ('language', 'vision'), modality
+        self._modality = modality
+
+    @property
+    def blocks(self):
+        if self._modality == 'vision':
+            return self.params['vision']['blocks']
+        return self.params['blocks']
+
+    @property
+    def n_blocks(self):
+        return len(self.blocks)
+
+    def set_block(self, idx, new_block):
+        self.blocks[idx] = new_block
+
+    def update_block_path(self, idx, path, value):
+        self.blocks[idx] = set_path(self.blocks[idx], path, value)
+
+    def get_layout(self):
+        return (self._vlayout if self._modality == 'vision'
+                else self._layout)
+
+    def block_fn(self):
+        if self._modality == 'vision':
+            vc = self.vl_cfg.vision
+
+            def vfn(bp, x, kw, qmap=None, capture=False, kv_state=None,
+                    kv_hook=None):
+                return L.block_apply(bp, vc, x, kw.get('cos'),
+                                     kw.get('sin'),
+                                     attn_bias=kw.get('attn_bias'),
+                                     qmap=qmap, capture=capture)
+            return vfn
+        return super().block_fn()
+
+    def inspect_fns(self):
+        if self._modality == 'vision':
+            return L.make_inspect_fns(self.vl_cfg.vision)
+        return L.make_inspect_fns(self.cfg)
+
+    # --- first-block capture --------------------------------------------
+    def collect_first_block_input(self, calib_batches):
+        QV, cfg = self._QV, self.vl_cfg
+        xs, kws = [], []
+        for batch in calib_batches:
+            patches = batch.get('pixel_patches')
+            grid = batch.get('grid_thw')
+            if self._modality == 'vision':
+                x = linear_apply(self.params['vision']['patch_proj'],
+                                 jnp.asarray(patches).astype(
+                                     cfg.vision.jdtype))[None]
+                cos, sin = QV.vision_rot_cos_sin(
+                    tuple(grid), cfg.vision.head_dim,
+                    cfg.spatial_merge_size)
+                kw = {'cos': cos[None], 'sin': sin[None],
+                      'attn_bias': jnp.zeros((1, 1, 1, 1), jnp.float32)}
+            else:
+                ids = jnp.asarray(batch['input_ids'])
+                x = L.embed_apply(self.params, cfg.text, ids)
+                if patches is not None:
+                    feats = QV.vision_forward(
+                        self.params['vision'], cfg, jnp.asarray(patches),
+                        tuple(grid))
+                    x = QV.merge_image_embeds(x, feats, ids,
+                                              cfg.image_token_id)
+                    pos3 = jnp.asarray(QV.rope_index(
+                        np.asarray(ids), [tuple(grid)], cfg))
+                else:
+                    S = ids.shape[1]
+                    pos3 = jnp.broadcast_to(
+                        jnp.arange(S)[None, None, :],
+                        (3,) + tuple(ids.shape))
+                cos, sin = QV.mrope_cos_sin(cfg.text, pos3,
+                                            cfg.mrope_section)
+                kw = {'cos': cos, 'sin': sin}
+            xs.append(x)
+            kws.append(kw)
+        return xs, kws
+
+    def forward_logits(self, input_ids, qmap=None, pixel_patches=None,
+                       grid_thw=None):
+        return self._QV.qwen2vl_forward(
+            self.params, self.vl_cfg, input_ids,
+            pixel_patches=pixel_patches,
+            grid_thw=tuple(grid_thw) if grid_thw is not None else None,
+            qmap=qmap)
 
 
 def build_model(config) -> BaseAdapter:
