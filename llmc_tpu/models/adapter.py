@@ -1440,6 +1440,161 @@ class Qwen2VLAdapter(LlamaAdapter):
             qmap=qmap)
 
 
+@MODEL_REGISTRY.register(name='InternVL2')
+class InternVLAdapter(LlamaAdapter):
+    """InternVL 2/2.5/3 (reference llmc/models/internvl2.py): InternViT
+    (layer-scale, optional full qk-norm) + pixel-shuffle + MLP projector
+    + Qwen2/Llama LM.  Two-modality compression like Llava."""
+
+    name = 'InternVL2'
+
+    def __init__(self, cfg, params, tokenizer=None, hf_config=None):
+        from . import internvl as IV
+        self._IV = IV
+        self.vl_cfg = cfg
+        BaseAdapter.__init__(self, cfg.text, params, tokenizer, hf_config)
+        self._modality = 'language'
+        self._layout = L.llama_layout(cfg.text)
+        self._vlayout = L.llama_layout(cfg.vision)
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from . import internvl as IV
+        from .hf_loader import load_hf_config, load_hf_tensors
+        hf = load_hf_config(path)
+        tcfg = L.LlamaConfig.from_hf(hf['text_config'])
+        v = hf['vision_config']
+
+        def scalar(x, default):
+            x = x if x is not None else default
+            return x[0] if isinstance(x, (list, tuple)) else x
+
+        vcfg = IV.InternVLConfig.vit_block_cfg(
+            v['hidden_size'], v['intermediate_size'],
+            v['num_hidden_layers'], v['num_attention_heads'],
+            v.get('hidden_act', 'gelu'),
+            'ln' if v.get('norm_type', 'layer_norm') == 'layer_norm'
+            else 'rms',
+            v.get('use_qk_norm', False),
+            v.get('attention_bias', True),
+            v.get('layer_norm_eps', 1e-6))
+        cfg = IV.InternVLConfig(
+            text=tcfg, vision=vcfg,
+            image_size=scalar(v.get('image_size'), 448),
+            patch_size=scalar(v.get('patch_size'), 14),
+            image_token_id=hf.get('image_token_id', 151667),
+            downsample_ratio=hf.get('downsample_ratio', 0.5),
+            vision_feature_layer=hf.get('vision_feature_layer', -1),
+            vision_feature_select_strategy=hf.get(
+                'vision_feature_select_strategy', 'default'),
+            use_abs_pos=v.get('use_absolute_position_embeddings', True),
+            final_layernorm=not v.get('use_mean_pooling', False))
+        flat = load_hf_tensors(path, dtype=dtype)
+        params = IV.params_from_hf(flat, cfg)
+        tok = None
+        try:
+            from transformers import AutoTokenizer
+            tok = AutoTokenizer.from_pretrained(path)
+        except Exception:
+            pass
+        return cls(cfg, params, tok, hf)
+
+    @classmethod
+    def from_config(cls, config):
+        from . import internvl as IV
+        m = config['model']
+        if m.get('path'):
+            return cls.from_pretrained(m['path'])
+        arch = dict(m.get('arch', {}))
+        varch = arch.pop('vision', {})
+        vcfg = IV.InternVLConfig.vit_block_cfg(
+            varch.get('hidden_size', 32),
+            varch.get('intermediate_size', 64),
+            varch.get('num_hidden_layers', 2),
+            varch.get('num_attention_heads', 2),
+            qk_norm=varch.get('use_qk_norm', False))
+        extra = {k: arch.pop(k) for k in
+                 ('image_size', 'patch_size', 'image_token_id',
+                  'downsample_ratio') if k in arch}
+        cfg = IV.InternVLConfig(text=L.LlamaConfig(**arch), vision=vcfg,
+                                **extra)
+        key = jax.random.PRNGKey(int(m.get('seed', 0)))
+        return cls(cfg, IV.init_params(cfg, key))
+
+    # --- modality dispatch (Llava pattern) ------------------------------
+    def set_modality(self, modality: str):
+        assert modality in ('language', 'vision'), modality
+        self._modality = modality
+
+    @property
+    def blocks(self):
+        if self._modality == 'vision':
+            return self.params['vision']['blocks']
+        return self.params['blocks']
+
+    @property
+    def n_blocks(self):
+        return len(self.blocks)
+
+    def set_block(self, idx, new_block):
+        self.blocks[idx] = new_block
+
+    def update_block_path(self, idx, path, value):
+        self.blocks[idx] = set_path(self.blocks[idx], path, value)
+
+    def get_layout(self):
+        return (self._vlayout if self._modality == 'vision'
+                else self._layout)
+
+    def block_fn(self):
+        if self._modality == 'vision':
+            vc = self.vl_cfg.vision
+
+            def vfn(bp, x, kw, qmap=None, capture=False, kv_state=None,
+                    kv_hook=None):
+                return L.block_apply(bp, vc, x, None, None,
+                                     attn_bias=kw.get('attn_bias'),
+                                     qmap=qmap, capture=capture)
+            return vfn
+        return super().block_fn()
+
+    def inspect_fns(self):
+        if self._modality == 'vision':
+            return L.make_inspect_fns(self.vl_cfg.vision)
+        return L.make_inspect_fns(self.cfg)
+
+    def embed_and_rope_p(self, params, input_ids, attention_mask=None,
+                         pixel_values=None):
+        IV, cfg = self._IV, self.vl_cfg
+        if self._modality == 'vision':
+            x = IV.vit_embed(params['vision'], cfg, pixel_values
+                             if pixel_values is not None else input_ids)
+            return x, {'attn_bias': jnp.zeros((1, 1, 1, 1), jnp.float32)}
+        x = L.embed_apply(params, cfg.text, input_ids)
+        if pixel_values is not None:
+            from .llava import merge_embeddings
+            feats = IV.image_features(params, cfg, pixel_values)
+            x = merge_embeddings(x, feats, input_ids, cfg.image_token_id)
+        S = input_ids.shape[1]
+        cos, sin = L.rope_cos_sin(cfg.text, jnp.arange(S)[None, :])
+        return x, {'cos': cos, 'sin': sin}
+
+    def collect_first_block_input(self, calib_batches):
+        xs, kws = [], []
+        fn = jax.jit(self.embed_and_rope_p)
+        for batch in calib_batches:
+            x, kw = fn(self.params, batch.get('input_ids'), None,
+                       batch.get('pixel_values'))
+            xs.append(x)
+            kws.append(kw)
+        return xs, kws
+
+    def forward_logits(self, input_ids, qmap=None, pixel_values=None):
+        return self._IV.internvl_forward(self.params, self.vl_cfg,
+                                         input_ids, pixel_values,
+                                         qmap=qmap)
+
+
 def build_model(config) -> BaseAdapter:
     mtype = config['model']['type']
     cls = MODEL_REGISTRY[mtype]

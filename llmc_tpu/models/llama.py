@@ -64,6 +64,11 @@ class LlamaConfig:
     rope_interleaved: bool = False      # GLM: c0,c0,c1,c1 pairing
     parallel_residual: bool = False     # y = x + attn(h) + mlp(h')
     shared_ln: bool = False             # parallel: mlp reads the attn ln
+    # InternViT (reference internvl2.py): per-channel layer-scale lambdas
+    # on each sublayer output, and RMS qk-norm over the FULL embed dim
+    # applied before the head reshape
+    layer_scale: bool = False
+    qk_norm_full: bool = False
     gated_mlp: bool = True              # False: up -> act -> down
     use_alibi: bool = False             # Bloom-style positional bias
     alibi_scaled: bool = False          # Falcon: alibi also * 1/sqrt(hd)
@@ -188,6 +193,9 @@ def attention_apply(p: Dict, cfg: LlamaConfig, x: jax.Array,
     q = linear_apply(p['q_proj'], x, _qc(qmap, f'{prefix}.q_proj'))
     k = linear_apply(p['k_proj'], x, _qc(qmap, f'{prefix}.k_proj'))
     v = linear_apply(p['v_proj'], x, _qc(qmap, f'{prefix}.v_proj'))
+    if cfg.qk_norm_full:
+        q = rms_norm(q, p['q_norm']['w'], cfg.rms_norm_eps)
+        k = rms_norm(k, p['k_norm']['w'], cfg.rms_norm_eps)
     q = q.reshape(B, S, H, hd)
     k = k.reshape(B, S, KVH, hd)
     v = v.reshape(B, S, KVH, hd)
@@ -329,6 +337,8 @@ def block_apply(bp: Dict, cfg: LlamaConfig, x: jax.Array,
         if capture:
             caps['down_in'] = down_in
         return x + attn_out + mlp_out, caps, kv_state
+    if cfg.layer_scale:
+        attn_out = attn_out * bp['ls1']
     if cfg.sandwich_norms:
         attn_out = norm(attn_out, bp['post_attention_layernorm'])
         x = x + attn_out
@@ -341,6 +351,8 @@ def block_apply(bp: Dict, cfg: LlamaConfig, x: jax.Array,
     mlp_out, down_in = mlp_apply(bp['mlp'], h, qmap, act=cfg.act_fn)
     if capture:
         caps['down_in'] = down_in
+    if cfg.layer_scale:
+        mlp_out = mlp_out * bp['ls2']
     if cfg.sandwich_norms:
         mlp_out = norm(mlp_out, bp['post_feedforward_layernorm'])
     y = x + mlp_out * rm
@@ -534,6 +546,12 @@ def init_params(cfg: LlamaConfig, key: jax.Array, dtype=None) -> Dict:
         }
         if not (cfg.parallel_residual and cfg.shared_ln):
             blk['post_attention_layernorm'] = nrm()
+        if cfg.layer_scale:
+            blk['ls1'] = jnp.full((D,), 0.1, dtype)
+            blk['ls2'] = jnp.full((D,), 0.1, dtype)
+        if cfg.qk_norm_full:
+            blk['self_attn']['q_norm'] = {'w': jnp.ones((H * hd,), dtype)}
+            blk['self_attn']['k_norm'] = {'w': jnp.ones((KVH * hd,), dtype)}
         blocks.append(blk)
     params = {
         'embed_tokens': {'w': (jax.random.normal(

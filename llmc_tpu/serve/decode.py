@@ -31,7 +31,7 @@ FP_POLICY = KVCachePolicy(method='fp')
 # Toggles for A/B tests (env: LLMC_CHUNKED=0/1, LLMC_CHUNKED_MIN=N).
 import os as _os
 CHUNKED_DECODE = _os.environ.get('LLMC_CHUNKED', '1') == '1'
-CHUNKED_MIN_LEN = int(_os.environ.get('LLMC_CHUNKED_MIN', '512'))
+CHUNKED_MIN_LEN = int(_os.environ.get('LLMC_CHUNKED_MIN', '0'))
 _CHUNK_OPTS = (512, 256, 128, 64, 32)
 
 
@@ -59,22 +59,25 @@ def _decode_attn_chunked(q, cache, layer, policy, cfg, chunk: int):
     fp = policy.method == 'fp'
     kbuf = cache['k'] if fp else cache['k_q']
     vbuf = cache['v'] if fp else cache['v_q']
-    qg = q[:, 0].reshape(B, KVH, G, hd).astype(F32)
+    qg = q[:, 0].reshape(B, KVH, G, hd)
 
     def read_chunk(buf, sbuf, zbuf, off):
         c = jax.lax.dynamic_slice(
             buf, (layer, 0, off, 0, 0),
             (1, B, chunk, KVH, hd))[0]
         if fp:
-            return c.astype(F32)
+            return c
+        # dequant in bf16: int8 codes and per-token scales lose nothing
+        # at bf16 precision and the narrower intermediates halve the
+        # VMEM traffic of the conversion
         s = jax.lax.dynamic_slice(
             sbuf, (layer, 0, off, 0, 0), (1, B, chunk, KVH, 1))[0]
-        out = c.astype(F32)
+        out = c.astype(jnp.bfloat16)
         if zbuf is not None:
             z = jax.lax.dynamic_slice(
                 zbuf, (layer, 0, off, 0, 0), (1, B, chunk, KVH, 1))[0]
-            out = out - z
-        return out * s
+            out = out - z.astype(jnp.bfloat16)
+        return out * s.astype(jnp.bfloat16)
 
     ks, kz = ((None, None) if fp else
               (cache['k_s'], cache.get('k_z')))
@@ -84,9 +87,10 @@ def _decode_attn_chunked(q, cache, layer, policy, cfg, chunk: int):
     def body(c, carry):
         m, l, acc = carry
         off = c * chunk
-        k_c = read_chunk(kbuf, ks, kz, off)      # [B, chunk, KVH, hd] f32
+        k_c = read_chunk(kbuf, ks, kz, off)      # [B, chunk, KVH, hd]
         v_c = read_chunk(vbuf, vs, vz, off)
-        s = jnp.einsum('bkgd,bskd->bkgs', qg, k_c)   # [B, KVH, G, chunk]
+        s = jnp.einsum('bkgd,bskd->bkgs', qg, k_c,
+                       preferred_element_type=F32)   # [B, KVH, G, chunk]
         idx = off + jnp.arange(chunk)
         s = jnp.where(idx[None, None, None, :]
                       <= pos[:, None, None, None], s, -jnp.inf)
@@ -94,7 +98,9 @@ def _decode_attn_chunked(q, cache, layer, policy, cfg, chunk: int):
         p = jnp.exp(s - m_new[..., None])
         corr = jnp.exp(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1)
-        acc = acc * corr[..., None] + jnp.einsum('bkgs,bskd->bkgd', p, v_c)
+        acc = acc * corr[..., None] + jnp.einsum(
+            'bkgs,bskd->bkgd', p.astype(v_c.dtype), v_c,
+            preferred_element_type=F32)
         return m_new, l, acc
 
     m0 = jnp.full((B, KVH, G), -jnp.inf, F32)
@@ -162,7 +168,8 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
             and policy.method in ('fp', 'naive')
             and not cfg.use_alibi and not cfg.attn_logit_softcap
             and not cfg.sliding_window and chunkc is not None):
-        ctx = _decode_attn_chunked(q.astype(F32) * scale, cache, layer,
+        qs_ = (q.astype(F32) * scale).astype(x.dtype)
+        ctx = _decode_attn_chunked(qs_, cache, layer,
                                    policy, cfg, chunkc).astype(x.dtype)
     else:
         k_full, v_full = policy.read(cache, layer, x.dtype)
