@@ -45,7 +45,7 @@ class CalibDataset:
     # --- sources --------------------------------------------------------
     def _build(self):
         if self.name in ('synthetic', 'synthetic_vlm', 'synthetic_img',
-                         'synthetic_qwen2vl'):
+                         'synthetic_qwen2vl', 'synthetic_onevision'):
             return None  # generated directly in get_calib_dataset
         if self.name == 'custom_txt':
             return self._load_custom_txt(self.path)
@@ -126,6 +126,25 @@ class CalibDataset:
                 batches.append({'input_ids': ids.astype(np.int32),
                                 'pixel_patches': patches,
                                 'grid_thw': (1, h, w)})
+            return batches, None
+        if self.name == 'synthetic_onevision':
+            # LLaVA-OneVision batches: anyres pixel stacks
+            # [1, num_crops, C, H, W] + image_sizes
+            rng = np.random.RandomState(self.seed + rank)
+            vocab = int(self.cfg.get('vocab_size', 32000))
+            img_tok = int(self.cfg.get('image_token', vocab))
+            img_len = int(self.cfg.get('image_seq_length', 4))
+            img_size = int(self.cfg.get('image_size', 16))
+            crops = int(self.cfg.get('num_crops', 2))
+            chans = int(self.cfg.get('num_channels', 3))
+            batches = []
+            for _ in range(self.n_samples):
+                ids = rng.randint(0, vocab, size=(1, self.seq_len))
+                ids[0, 2:2 + img_len] = img_tok
+                px = rng.randn(1, crops, chans, img_size, img_size)
+                batches.append({'input_ids': ids.astype(np.int32),
+                                'pixel_values': px.astype(np.float32),
+                                'image_sizes': [(img_size, img_size)]})
             return batches, None
         if self.name == 'synthetic_img':
             # vision-only batches (ViT calib; reference img preprocs)

@@ -1595,6 +1595,162 @@ class InternVLAdapter(LlamaAdapter):
                                          qmap=qmap)
 
 
+@MODEL_REGISTRY.register(name='LlavaOneVision')
+class LlavaOneVisionAdapter(LlamaAdapter):
+    """LLaVA-OneVision (reference llmc/models/llava_onevision.py):
+    SigLIP tower + anyres packing + Qwen2 LM.  Two-modality compression
+    like Llava; calib batches carry ``pixel_values`` [B, num_patches, C,
+    H, W] + ``image_sizes``."""
+
+    name = 'LlavaOneVision'
+
+    def __init__(self, cfg, params, tokenizer=None, hf_config=None):
+        from . import llava_onevision as OV
+        self._OV = OV
+        self.vl_cfg = cfg
+        BaseAdapter.__init__(self, cfg.text, params, tokenizer, hf_config)
+        self._modality = 'language'
+        self._layout = L.llama_layout(cfg.text)
+        self._vlayout = L.llama_layout(cfg.vision)
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from . import llava_onevision as OV
+        from .hf_loader import load_hf_config, load_hf_tensors
+        hf = load_hf_config(path)
+        tcfg = L.LlamaConfig.from_hf(hf['text_config'])
+        v = hf['vision_config']
+        vcfg = OV.LlavaOnevisionConfig.siglip_block_cfg(
+            v['hidden_size'], v['intermediate_size'],
+            v['num_hidden_layers'], v['num_attention_heads'],
+            v.get('layer_norm_eps', 1e-6))
+        cfg = OV.LlavaOnevisionConfig(
+            text=tcfg, vision=vcfg,
+            image_size=v.get('image_size', 384),
+            patch_size=v.get('patch_size', 14),
+            image_token_index=hf.get('image_token_index', 151646),
+            vision_feature_layer=hf.get('vision_feature_layer', -1),
+            vision_feature_select_strategy=hf.get(
+                'vision_feature_select_strategy', 'full'),
+            vision_aspect_ratio=hf.get('vision_aspect_ratio',
+                                       'anyres_max_9'),
+            image_grid_pinpoints=tuple(
+                tuple(p) for p in hf.get('image_grid_pinpoints',
+                                         [[384, 384]])))
+        flat = load_hf_tensors(path, dtype=dtype)
+        params = OV.params_from_hf(flat, cfg)
+        tok = None
+        try:
+            from transformers import AutoTokenizer
+            tok = AutoTokenizer.from_pretrained(path)
+        except Exception:
+            pass
+        return cls(cfg, params, tok, hf)
+
+    @classmethod
+    def from_config(cls, config):
+        from . import llava_onevision as OV
+        m = config['model']
+        if m.get('path'):
+            return cls.from_pretrained(m['path'])
+        arch = dict(m.get('arch', {}))
+        varch = arch.pop('vision', {})
+        vcfg = OV.LlavaOnevisionConfig.siglip_block_cfg(
+            varch.get('hidden_size', 32),
+            varch.get('intermediate_size', 64),
+            varch.get('num_hidden_layers', 2),
+            varch.get('num_attention_heads', 2))
+        extra = {k: arch.pop(k) for k in
+                 ('image_size', 'patch_size', 'image_token_index')
+                 if k in arch}
+        cfg = OV.LlavaOnevisionConfig(text=L.LlamaConfig(**arch),
+                                      vision=vcfg, **extra)
+        key = jax.random.PRNGKey(int(m.get('seed', 0)))
+        return cls(cfg, OV.init_params(cfg, key))
+
+    # --- modality dispatch (Llava pattern) ------------------------------
+    def set_modality(self, modality: str):
+        assert modality in ('language', 'vision'), modality
+        self._modality = modality
+
+    @property
+    def blocks(self):
+        if self._modality == 'vision':
+            return self.params['vision']['blocks']
+        return self.params['blocks']
+
+    @property
+    def n_blocks(self):
+        return len(self.blocks)
+
+    def set_block(self, idx, new_block):
+        self.blocks[idx] = new_block
+
+    def update_block_path(self, idx, path, value):
+        self.blocks[idx] = set_path(self.blocks[idx], path, value)
+
+    def get_layout(self):
+        return (self._vlayout if self._modality == 'vision'
+                else self._layout)
+
+    def block_fn(self):
+        if self._modality == 'vision':
+            vc = self.vl_cfg.vision
+
+            def vfn(bp, x, kw, qmap=None, capture=False, kv_state=None,
+                    kv_hook=None):
+                return L.block_apply(bp, vc, x, None, None,
+                                     attn_bias=kw.get('attn_bias'),
+                                     qmap=qmap, capture=capture)
+            return vfn
+        return super().block_fn()
+
+    def inspect_fns(self):
+        if self._modality == 'vision':
+            return L.make_inspect_fns(self.vl_cfg.vision)
+        return L.make_inspect_fns(self.cfg)
+
+    def collect_first_block_input(self, calib_batches):
+        OV, cfg = self._OV, self.vl_cfg
+        xs, kws = [], []
+        for batch in calib_batches:
+            px = batch.get('pixel_values')
+            if self._modality == 'vision':
+                pxj = jnp.asarray(px)
+                if pxj.ndim == 5:
+                    pxj = pxj.reshape((-1,) + pxj.shape[2:])
+                x = OV.siglip_embed(self.params['vision'], cfg, pxj)
+                kw = {'attn_bias': jnp.zeros((1, 1, 1, 1), jnp.float32)}
+            else:
+                ids = jnp.asarray(batch['input_ids'])
+                x = L.embed_apply(self.params, cfg.text, ids)
+                if px is not None:
+                    from .llava import merge_embeddings
+                    sizes = batch.get('image_sizes',
+                                      [(cfg.image_size, cfg.image_size)]
+                                      * ids.shape[0])
+                    feats = jnp.stack([
+                        OV.image_features(self.params, cfg,
+                                          jnp.asarray(px)[b],
+                                          tuple(sizes[b]))
+                        for b in range(ids.shape[0])])
+                    x = merge_embeddings(x, feats, ids,
+                                         cfg.image_token_index)
+                S = ids.shape[1]
+                cos, sin = L.rope_cos_sin(cfg.text,
+                                          jnp.arange(S)[None, :])
+                kw = {'cos': cos, 'sin': sin}
+            xs.append(x)
+            kws.append(kw)
+        return xs, kws
+
+    def forward_logits(self, input_ids, qmap=None, pixel_values=None,
+                       image_sizes=None):
+        return self._OV.onevision_forward(self.params, self.vl_cfg,
+                                          input_ids, pixel_values,
+                                          image_sizes, qmap=qmap)
+
+
 def build_model(config) -> BaseAdapter:
     mtype = config['model']['type']
     cls = MODEL_REGISTRY[mtype]
