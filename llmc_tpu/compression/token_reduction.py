@@ -106,6 +106,120 @@ def divprune_select(tokens: jax.Array, keep: int) -> jax.Array:
     return idx
 
 
+def fastervlm_select(cls_attn: jax.Array, keep: int) -> jax.Array:
+    """FasterVLM (fastervlm.py:60-80): rank PATCH tokens by the tower's
+    CLS->patch attention (mean over heads) and keep the top-k, in
+    original order.  cls_attn: [B, H, N] (CLS query to the N patches)."""
+    score = cls_attn.astype(F32).mean(axis=1)           # [B, N]
+    idx = jax.lax.top_k(score, keep)[1]
+    return jnp.sort(idx, axis=-1)
+
+
+def visionzip_reduce(hidden: jax.Array, attn: jax.Array,
+                     metric: jax.Array, dominant: int, contextual: int
+                     ) -> jax.Array:
+    """VisionZip (visionzip.py:299-399): at the tower's -2 layer, keep
+    CLS + the ``dominant`` patches most attended by CLS, and compress the
+    rest into ``contextual`` merged tokens (nearest strided target by
+    key-metric similarity, hidden averaged per target).
+
+    hidden [B, 1+N, D] (CLS first, -2 layer OUTPUT); attn [B, H, S, S]
+    (that layer's probs); metric [B, S, hd] (keys, mean over heads).
+    Returns [B, 1 + dominant + contextual, D]."""
+    B, S, D = hidden.shape
+    cls_attn = attn.astype(F32)[:, :, 0, 1:].sum(axis=1)     # [B, N]
+    top = jax.lax.top_k(cls_attn, dominant)[1] + 1
+    all_idx = jnp.concatenate(
+        [jnp.zeros((B, 1), top.dtype), top], axis=1)
+    keep_mask = jax.vmap(lambda m, i: m.at[i].set(True))(
+        jnp.zeros((B, S), bool), all_idx)
+    # dominant tokens in ORIGINAL order (masked_select semantics)
+    rank = jnp.where(keep_mask, jnp.arange(S)[None, :], S + 1)
+    dom_idx = jnp.sort(rank, axis=-1)[:, :dominant + 1]
+    dom = jnp.take_along_axis(hidden, dom_idx[..., None], axis=1)
+    # filtered (non-kept) tokens, original order
+    nfilt = S - (dominant + 1)
+    franks = jnp.where(keep_mask, S + 1, jnp.arange(S)[None, :])
+    filt_idx = jnp.sort(franks, axis=-1)[:, :nfilt]
+    h_f = jnp.take_along_axis(hidden, filt_idx[..., None], axis=1)
+    m_f = jnp.take_along_axis(metric.astype(F32), filt_idx[..., None],
+                              axis=1)
+    m_f = m_f / jnp.clip(jnp.linalg.norm(m_f, axis=-1, keepdims=True),
+                         1e-6, None)
+    step = max(1, nfilt // contextual)
+    tgt = jnp.arange(0, nfilt, step)[:contextual]
+    is_tgt = jnp.zeros((nfilt,), bool).at[tgt].set(True)
+    rest_idx = jnp.where(~is_tgt, jnp.arange(nfilt), nfilt + 1)
+    rest_idx = jnp.sort(rest_idx)[:nfilt - tgt.shape[0]]
+    m_tgt = m_f[:, tgt]
+    m_rest = jnp.take_along_axis(m_f, rest_idx[None, :, None], axis=1)
+    h_rest = jnp.take_along_axis(h_f, rest_idx[None, :, None], axis=1)
+    sim = jnp.einsum('brd,btd->brt', m_rest, m_tgt)
+    assign = jnp.argmax(sim, axis=-1)                        # [B, R]
+    nt = tgt.shape[0]
+    onehot = jax.nn.one_hot(assign, nt, dtype=F32)           # [B, R, T]
+    counts = jnp.clip(onehot.sum(axis=1), 1.0, None)[..., None]
+    agg = jnp.einsum('brt,brd->btd', onehot, h_rest.astype(F32)) / counts
+    ctx = h_f[:, tgt].astype(F32) + agg
+    return jnp.concatenate([dom, ctx.astype(hidden.dtype)], axis=1)
+
+
+def dpc_cluster_merge(x: jax.Array, cluster_num: int) -> jax.Array:
+    """Density-peaks clustering merge (sparsevlm.py cluster_and_merge
+    :500-570): pick cluster_num centers by density*separation, assign
+    every token to its nearest center, average.  x: [B, N, C]."""
+    B, N, C = x.shape
+    xf = x.astype(F32)
+    d = jnp.linalg.norm(xf[:, :, None] - xf[:, None, :], axis=-1) \
+        / (C ** 0.5)
+    k = min(cluster_num, N)
+    dk = -jax.lax.top_k(-d, k)[0]                            # smallest k
+    density = jnp.exp(-(dk ** 2).mean(axis=-1))
+    density = density + jnp.arange(N)[None] * 1e-6           # tie-break
+    higher = density[:, None, :] > density[:, :, None]
+    dmax = jnp.max(d.reshape(B, -1), axis=-1)[:, None, None]
+    sep = jnp.min(jnp.where(higher, d, dmax), axis=-1)
+    centers = jax.lax.top_k(sep * density, cluster_num)[1]   # [B, K]
+    d_toc = jax.vmap(lambda db, cb: db[cb])(d, centers)      # [B, K, N]
+    idx = jnp.argmin(d_toc, axis=1)                          # [B, N]
+    idx = jax.vmap(lambda ib, cb: ib.at[cb].set(
+        jnp.arange(cluster_num)))(idx, centers)
+    onehot = jax.nn.one_hot(idx, cluster_num, dtype=F32)     # [B, N, K]
+    w = jnp.clip(onehot.sum(axis=1), 1e-6, None)[..., None]
+    merged = jnp.einsum('bnk,bnc->bkc', onehot, xf) / w
+    return merged.astype(x.dtype)
+
+
+# SparseVLM per-stage keep schedule (sparsevlm.py:402-410)
+SPARSEVLM_SCHEDULE = {192: (300, 200, 110), 128: (303, 110, 36),
+                      64: (66, 30, 17)}
+
+
+def sparsevlm_rate(probs: jax.Array, v0: int, v_num: int,
+                   t0: int) -> jax.Array:
+    """relation_vis_text (attn_postprocess_topk, sparsevlm.py:413-445):
+    mean over heads and TEXT queries (tokens from t0 on) of attention to
+    each vision token.  probs: [B, H, S, S] -> [B, v_num]."""
+    p = probs.astype(F32).mean(axis=1)                       # [B, S, S]
+    return p[:, t0:, v0:v0 + v_num].mean(axis=1)
+
+
+def pyramiddrop_rate(q: jax.Array, k: jax.Array, query_pos: int,
+                     v0: int, v_num: int) -> jax.Array:
+    """PyramidDrop (pyramiddrop.py:135-200): softmax attention of the
+    single query at ``query_pos`` (last prompt+image token) over all
+    causal keys, mean over heads, restricted to the vision span.
+    q/k: [B, S, H, hd] (post-rope)."""
+    B, S, H, hd = q.shape
+    qq = q.astype(F32)[:, query_pos]                         # [B, H, hd]
+    logits = jnp.einsum('bhd,bshd->bhs', qq, k.astype(F32)) \
+        / (hd ** 0.5)
+    mask = jnp.arange(S)[None, None, :] <= query_pos
+    logits = jnp.where(mask, logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1).mean(axis=1)         # [B, S]
+    return p[:, v0:v0 + v_num]
+
+
 @dataclasses.dataclass
 class TokenReductionBase:
     """Registry shim mirroring TokenReduction(BlockwiseOpt)
@@ -116,9 +230,10 @@ class TokenReductionBase:
     method: str = 'FastV'
 
 
+# Only methods with an actual operator + wiring are registered; using an
+# unimplemented name must fail loudly at config time (VERDICT r1).
 for _name in ('FastV', 'ToMe', 'DivPrune', 'FasterVLM', 'SparseVLM',
-              'VisionZip', 'PyramidDrop', 'MustDrop', 'DART', 'DyCoke',
-              'PruneVid', 'FastVID', 'HoliTom'):
+              'VisionZip', 'PyramidDrop'):
     TOKEN_REDUCTION_REGISTRY.register(
         (lambda n: lambda cfg, *a, **kw: TokenReductionBase(cfg, n))(
             _name), name=_name)

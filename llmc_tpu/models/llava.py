@@ -91,17 +91,74 @@ def clip_embed(vp: Dict, cfg: LlavaConfig, pixels: jax.Array) -> jax.Array:
                       cfg.vision.rms_norm_eps)
 
 
+def _vision_block_with_probs(bp: Dict, vc: L.LlamaConfig, x: jax.Array):
+    """Run one CLIP-style block returning (y, attn_probs [B,H,S,S],
+    keys_mean_over_heads [B,S,hd]) — the probe tower-side token-reduction
+    methods need (FasterVLM attentions, VisionZip attn+key metric)."""
+    B, S, D = x.shape
+    H = vc.num_attention_heads
+    hd = vc.head_dim
+    h = layer_norm(x, bp['input_layernorm']['w'],
+                   bp['input_layernorm'].get('b'), vc.rms_norm_eps)
+    ap = bp['self_attn']
+    q = linear_apply(ap['q_proj'], h).reshape(B, S, H, hd)
+    k = linear_apply(ap['k_proj'], h).reshape(B, S, H, hd)
+    v = linear_apply(ap['v_proj'], h).reshape(B, S, H, hd)
+    scores = jnp.einsum('bqhd,bkhd->bhqk', q, k,
+                        preferred_element_type=F32) / (hd ** 0.5)
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum('bhqk,bkhd->bqhd', probs.astype(x.dtype), v,
+                     preferred_element_type=F32).astype(x.dtype)
+    attn_out = linear_apply(ap['o_proj'], ctx.reshape(B, S, H * hd))
+    x = x + attn_out
+    h2 = layer_norm(x, bp['post_attention_layernorm']['w'],
+                    bp['post_attention_layernorm'].get('b'),
+                    vc.rms_norm_eps)
+    mlp_out, _ = L.mlp_apply(bp['mlp'], h2, None, act=vc.act_fn)
+    keys_mean = k.astype(F32).mean(axis=2)                   # [B, S, hd]
+    return x + mlp_out, probs, keys_mean
+
+
 def vision_features(vp: Dict, cfg: LlavaConfig, pixels: jax.Array,
-                    qmap=None) -> jax.Array:
+                    qmap=None, reduction: Optional[dict] = None
+                    ) -> jax.Array:
     """Selected hidden state of the tower (vision_feature_layer; -2 means
-    the output of the penultimate block), CLS dropped under 'default'."""
+    the output of the penultimate block), CLS dropped under 'default'.
+
+    ``reduction``: tower-side token reduction —
+      {'method': 'FasterVLM', 'keep': K}  (fastervlm.py: CLS-attention
+        top-K patches at the select layer)
+      {'method': 'VisionZip', 'dominant': D, 'contextual': C}
+        (visionzip.py: CLS-dominant + key-metric contextual merge)
+    """
     x = clip_embed(vp, cfg, pixels)
     vc = cfg.vision
     nl = vc.num_hidden_layers
     upto = cfg.vision_feature_layer % nl + 1 \
         if cfg.vision_feature_layer < 0 else cfg.vision_feature_layer
-    # hidden_states[i] = input of block i; [-2] = output of block nl-2
+    method = (reduction or {}).get('method')
     no_mask = jnp.zeros((1, 1, 1, 1), F32)
+    if method in ('FasterVLM', 'VisionZip'):
+        from ..compression.token_reduction import (fastervlm_select,
+                                                   visionzip_reduce)
+        for bp in vp['blocks'][:upto - 1]:
+            x, _, _ = L.block_apply(bp, vc, x, None, None,
+                                    attn_bias=no_mask, qmap=qmap)
+        x, probs, keys = _vision_block_with_probs(vp['blocks'][upto - 1],
+                                                  vc, x)
+        if method == 'FasterVLM':
+            if cfg.vision_feature_select_strategy == 'default':
+                x = x[:, 1:]
+            idx = fastervlm_select(probs[:, :, 0, 1:],
+                                   int(reduction['keep']))
+            return jnp.take_along_axis(x, idx[..., None], axis=1)
+        x = visionzip_reduce(x, probs, keys,
+                             int(reduction['dominant']),
+                             int(reduction['contextual']))
+        if cfg.vision_feature_select_strategy == 'default':
+            x = x[:, 1:]
+        return x
+    # hidden_states[i] = input of block i; [-2] = output of block nl-2
     for bp in vp['blocks'][:upto]:
         x, _, _ = L.block_apply(bp, vc, x, None, None,
                                 attn_bias=no_mask, qmap=qmap)
@@ -178,19 +235,72 @@ def llava_embed(params: Dict, cfg: LlavaConfig, input_ids: jax.Array,
     return embeds
 
 
+def _qk_postrope(bp: Dict, cfg: L.LlamaConfig, x: jax.Array, cos, sin):
+    """Post-rope q/k of one LM block (PyramidDrop's probe)."""
+    B, S, D = x.shape
+    H, KVH, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    from .base import rms_norm
+    if cfg.norm_type == 'ln':
+        p = bp['input_layernorm']
+        h = layer_norm(x, p['w'], p.get('b'), cfg.rms_norm_eps)
+    else:
+        h = rms_norm(x, bp['input_layernorm']['w'], cfg.rms_norm_eps)
+    ap = bp['self_attn']
+    q = linear_apply(ap['q_proj'], h).reshape(B, S, H, hd)
+    k = linear_apply(ap['k_proj'], h).reshape(B, S, KVH, hd)
+    q, k = L.apply_rope(q, k, cos, sin)
+    if KVH != H:
+        k = jnp.repeat(k, H // KVH, axis=2)
+    return q, k
+
+
 def llava_forward(params: Dict, cfg: LlavaConfig, input_ids: jax.Array,
                   pixel_values: Optional[jax.Array] = None, qmap=None,
                   token_reduction: Optional[dict] = None) -> jax.Array:
-    """Merged-modal forward to logits.  ``token_reduction`` (FastV):
-    {'prune_layer': int, 'keep': int} drops low-attention visual tokens
-    after ``prune_layer`` LM blocks (fastv.py:13-146)."""
+    """Merged-modal forward to logits.
+
+    ``token_reduction`` selects a visual-token reduction method
+    (reference llmc/compression/token_reduction/):
+      FastV      {'prune_layer': L, 'keep': K} (default when no method)
+      FasterVLM  {'method': 'FasterVLM', 'keep': K}          (tower)
+      VisionZip  {'method': 'VisionZip', 'dominant', 'contextual'}
+      SparseVLM  {'method': 'SparseVLM', 'pruning_loc': [..],
+                  'retained_tokens': 192|128|64}  (B=1)
+      PyramidDrop{'method': 'PyramidDrop', 'layer_list': [..],
+                  'image_token_ratio_list': [..]}  (B=1)
+    """
     tc = cfg.text
     B, S = input_ids.shape
+    method = (token_reduction or {}).get(
+        'method', 'FastV' if token_reduction else None)
+    blocks = params['blocks']
+
+    if method in ('FasterVLM', 'VisionZip') and pixel_values is not None:
+        feats = vision_features(params['vision'], cfg, pixel_values,
+                                qmap=qmap, reduction=token_reduction)
+        feats = project_features(params['projector'], cfg, feats)
+        new_n = feats.shape[1]
+        v0 = int(jnp.argmax(input_ids[0] == cfg.image_token_index))
+        v1 = v0 + cfg.image_seq_length
+        # rewrite ids: the image span shrinks to new_n placeholders
+        # (visionzip.py:99-112 rewrites input_ids the same way)
+        input_ids = jnp.concatenate(
+            [input_ids[:, :v0 + new_n], input_ids[:, v1:]], axis=1)
+        embeds = L.embed_apply(params, tc, input_ids)
+        x = merge_embeddings(embeds, feats, input_ids,
+                             cfg.image_token_index)
+        S = input_ids.shape[1]
+        cos, sin = L.rope_cos_sin(tc, jnp.arange(S)[None, :])
+        for bp in blocks:
+            x, _, _ = L.block_apply(bp, tc, x, cos, sin, qmap=qmap)
+        return L.head_apply(params, tc, x)
+
     x = llava_embed(params, cfg, input_ids, pixel_values, qmap=qmap)
     positions = jnp.arange(S)[None, :]
     cos, sin = L.rope_cos_sin(tc, positions)
-    blocks = params['blocks']
-    if token_reduction and pixel_values is not None:
+
+    if method == 'FastV' and pixel_values is not None:
         from ..compression.token_reduction import fastv_prune
         pl = int(token_reduction['prune_layer'])
         keep = int(token_reduction['keep'])
@@ -210,9 +320,84 @@ def llava_forward(params: Dict, cfg: LlavaConfig, input_ids: jax.Array,
             axis=1)
         for bp in blocks[pl:]:
             x, _, _ = L.block_apply(bp, tc, x, cos, sin, qmap=qmap)
-    else:
-        for bp in blocks:
+        return L.head_apply(params, tc, x)
+
+    if method == 'SparseVLM' and pixel_values is not None:
+        from ..compression.token_reduction import (SPARSEVLM_SCHEDULE,
+                                                   dpc_cluster_merge,
+                                                   sparsevlm_rate)
+        assert B == 1, 'SparseVLM wiring supports batch 1 (reference too)'
+        locs = list(token_reduction.get('pruning_loc', (2, 6, 15)))
+        sched = SPARSEVLM_SCHEDULE[
+            int(token_reduction.get('retained_tokens', 192))]
+        v0 = int(jnp.argmax(input_ids[0] == cfg.image_token_index))
+        v_num = cfg.image_seq_length
+        stage = 0
+        for li, bp in enumerate(blocks):
+            if stage < len(locs) and li == locs[stage] and v_num > 1:
+                probs = _attn_probs(bp, tc, x, cos, sin)
+                rel = sparsevlm_rate(probs, v0, v_num, v0 + v_num)[0]
+                keep_k = min(int(sched[min(stage, len(sched) - 1)]),
+                             v_num - 1)
+                keep_idx = jnp.sort(jax.lax.top_k(rel, keep_k)[1])
+                kept_vis = jnp.take(x[0, v0:v0 + v_num], keep_idx,
+                                    axis=0)
+                # recycle: top 30% of pruned by relation, DPC-merged
+                pr = v_num - keep_k
+                prune_rank = jnp.sort(jax.lax.top_k(-rel, pr)[1])
+                pruned_rel = jnp.take(rel, prune_rank)
+                m1 = int(pr * 0.3) + 1
+                m_idx = jax.lax.top_k(pruned_rel, m1)[1]
+                m_tokens = jnp.take(
+                    jnp.take(x[0, v0:v0 + v_num], prune_rank, axis=0),
+                    m_idx, axis=0)[None]
+                cn = m1 // 10 + 1
+                merged = dpc_cluster_merge(m_tokens, cn)[0]
+                x = jnp.concatenate(
+                    [x[0, :v0], kept_vis, merged, x[0, v0 + v_num:]],
+                    axis=0)[None]
+                v_num = keep_k + cn
+                # consecutive re-positioning (sparsevlm.py:295-299)
+                S = x.shape[1]
+                cos, sin = L.rope_cos_sin(tc, jnp.arange(S)[None, :])
+                stage += 1
             x, _, _ = L.block_apply(bp, tc, x, cos, sin, qmap=qmap)
+        return L.head_apply(params, tc, x)
+
+    if method == 'PyramidDrop' and pixel_values is not None:
+        from ..compression.token_reduction import pyramiddrop_rate
+        assert B == 1, 'PyramidDrop wiring supports batch 1'
+        locs = list(token_reduction.get('layer_list', (8, 16, 24)))
+        ratios = list(token_reduction.get('image_token_ratio_list',
+                                          (0.5, 0.25, 0.125)))
+        v0 = int(jnp.argmax(input_ids[0] == cfg.image_token_index))
+        n0 = cfg.image_seq_length
+        v_num = n0
+        pos = jnp.arange(S)
+        stage = 0
+        for li, bp in enumerate(blocks):
+            if stage < len(locs) and li == locs[stage] and v_num > 1:
+                q, k = _qk_postrope(bp, tc, x, cos, sin)
+                rel = pyramiddrop_rate(q, k, v0 + v_num - 1, v0, v_num)[0]
+                keep_k = max(1, int(n0 * ratios[stage]))
+                keep_idx = jnp.sort(jax.lax.top_k(rel, keep_k)[1])
+                kept_vis = jnp.take(x[0, v0:v0 + v_num], keep_idx,
+                                    axis=0)
+                kept_pos = jnp.concatenate(
+                    [pos[:v0], jnp.take(pos[v0:v0 + v_num], keep_idx),
+                     pos[v0 + v_num:]])
+                x = jnp.concatenate(
+                    [x[0, :v0], kept_vis, x[0, v0 + v_num:]],
+                    axis=0)[None]
+                v_num = keep_k
+                pos = kept_pos
+                cos, sin = L.rope_cos_sin(tc, pos[None, :])
+                stage += 1
+            x, _, _ = L.block_apply(bp, tc, x, cos, sin, qmap=qmap)
+        return L.head_apply(params, tc, x)
+
+    for bp in blocks:
+        x, _, _ = L.block_apply(bp, tc, x, cos, sin, qmap=qmap)
     return L.head_apply(params, tc, x)
 
 

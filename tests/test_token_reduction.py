@@ -55,5 +55,49 @@ def test_divprune_selects_diverse():
 def test_registry_has_methods():
     import llmc_tpu.compression.token_reduction  # noqa: F401
     from llmc_tpu.utils import TOKEN_REDUCTION_REGISTRY
-    for name in ('FastV', 'ToMe', 'DivPrune', 'VisionZip', 'HoliTom'):
+    for name in ('FastV', 'ToMe', 'DivPrune', 'VisionZip', 'FasterVLM',
+                 'SparseVLM', 'PyramidDrop'):
         assert name in TOKEN_REDUCTION_REGISTRY
+    # unimplemented names must NOT be silently registered (fail loudly)
+    for name in ('MustDrop', 'DART', 'DyCoke', 'PruneVid', 'FastVID',
+                 'HoliTom'):
+        assert name not in TOKEN_REDUCTION_REGISTRY
+
+
+def test_fastervlm_select_by_cls_attention():
+    from llmc_tpu.compression.token_reduction import fastervlm_select
+    B, H, N = 1, 2, 8
+    attn = np.full((B, H, N), 0.01, np.float32)
+    attn[:, :, [1, 4, 6]] = 1.0
+    idx = np.asarray(fastervlm_select(jnp.asarray(attn), keep=3))[0]
+    assert idx.tolist() == [1, 4, 6]          # sorted original order
+
+
+def test_visionzip_reduce_shapes_and_dominant():
+    from llmc_tpu.compression.token_reduction import visionzip_reduce
+    rng = np.random.RandomState(0)
+    B, N, D, hd = 1, 12, 16, 8
+    hidden = rng.randn(B, 1 + N, D).astype(np.float32)
+    attn = np.full((B, 2, 1 + N, 1 + N), 0.01, np.float32)
+    attn[:, :, 0, [3, 7]] = 1.0               # CLS attends to patches 2,6
+    metric = rng.randn(B, 1 + N, hd).astype(np.float32)
+    out = np.asarray(visionzip_reduce(jnp.asarray(hidden),
+                                      jnp.asarray(attn),
+                                      jnp.asarray(metric),
+                                      dominant=2, contextual=3))
+    assert out.shape == (B, 1 + 2 + 3, D)
+    # CLS + the two dominant patches preserved exactly, original order
+    np.testing.assert_array_equal(out[0, 0], hidden[0, 0])
+    np.testing.assert_array_equal(out[0, 1], hidden[0, 3])
+    np.testing.assert_array_equal(out[0, 2], hidden[0, 7])
+
+
+def test_dpc_cluster_merge_recovers_clusters():
+    from llmc_tpu.compression.token_reduction import dpc_cluster_merge
+    rng = np.random.RandomState(1)
+    c1, c2 = rng.randn(4), rng.randn(4) + 10
+    x = np.stack([c1, c1, c1, c2, c2, c2]).astype(np.float32)[None]
+    out = np.asarray(dpc_cluster_merge(jnp.asarray(x), 2))[0]
+    got = sorted(out.tolist(), key=lambda v: v[0])
+    exp = sorted([c1.tolist(), c2.tolist()], key=lambda v: v[0])
+    np.testing.assert_allclose(got, exp, atol=1e-5)
