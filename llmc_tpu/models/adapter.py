@@ -481,10 +481,48 @@ def rms_norm_local(x, w, eps):
 
 @MODEL_REGISTRY.register(name='Qwen2Moe')
 class Qwen2MoeAdapter(MixtralAdapter):
-    """NOTE round-1: maps to the Mixtral MoE graph (no shared expert
-    yet); reference llmc/models/qwen2moe.py."""
+    """Qwen2-MoE / Qwen1.5-MoE (reference llmc/models/qwen2moe.py):
+    softmax-then-topk routing + gated SHARED expert, per-expert AND
+    shared-expert quantization subsets."""
 
     name = 'Qwen2Moe'
+
+    def __init__(self, cfg, params, tokenizer=None, hf_config=None):
+        BaseAdapter.__init__(self, cfg, params, tokenizer, hf_config)
+        from . import qwen2moe as QM
+        self._MX = QM                      # block_fn/inspect_fns reuse
+        self._layout = QM.qwen2moe_layout(cfg)
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from . import qwen2moe as QM
+        from .hf_loader import load_hf_config, load_hf_tensors
+        hf = load_hf_config(path)
+        cfg = QM.Qwen2MoeConfig.from_hf(hf)
+        flat = load_hf_tensors(path, dtype=dtype)
+        params = QM.params_from_hf(flat, cfg)
+        tok = None
+        try:
+            from transformers import AutoTokenizer
+            tok = AutoTokenizer.from_pretrained(path)
+        except Exception:
+            pass
+        return cls(cfg, params, tok, hf)
+
+    @classmethod
+    def from_config(cls, config):
+        from . import qwen2moe as QM
+        m = config['model']
+        if m.get('path'):
+            return cls.from_pretrained(m['path'])
+        cfg = QM.Qwen2MoeConfig(**dict(m.get('arch', {})))
+        return cls(cfg, QM.init_params(cfg, jax.random.PRNGKey(
+            int(m.get('seed', 0)))))
+
+    @classmethod
+    def random(cls, cfg, seed: int = 0):
+        from . import qwen2moe as QM
+        return cls(cfg, QM.init_params(cfg, jax.random.PRNGKey(seed)))
 
 
 @MODEL_REGISTRY.register(name='Opt')
