@@ -153,3 +153,26 @@ def _shuffled(calib_dataset, key):
     texts = list(texts)
     rng.shuffle(texts)
     return texts
+
+
+@PREPROC_REGISTRY.register
+def img_general(calib_dataset, tokenizer, n_samples, seq_len=None,
+                batch_process=None):
+    """Image calibration samples (specified_preproc.py:104-110): shuffle,
+    take n_samples, run the model-supplied ``batch_process`` (which turns
+    raw images into model input dicts).  Without a batch_process, items
+    are assumed to already be pixel arrays and are wrapped as
+    {'pixel_values': [1, ...]} batches."""
+    items = list(calib_dataset)
+    random.shuffle(items)
+    items = items[:n_samples]
+    if batch_process is not None:
+        return batch_process(items)
+    out = []
+    for it in items:
+        px = np.asarray(it['image'] if isinstance(it, dict) else it,
+                        np.float32)
+        if px.ndim == 3:
+            px = px[None]
+        out.append({'pixel_values': px})
+    return out

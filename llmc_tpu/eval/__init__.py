@@ -6,3 +6,4 @@ from .ppl import DecodePerplexityEval, PerplexityEval, TokenConsistencyEval
 __all__ = ['HumanEval', 'LatencyEval','CustomGenerate', 'LMEvalAdapter', 'run_lm_eval',
            'DecodePerplexityEval', 'PerplexityEval',
            'TokenConsistencyEval']
+from .vqa import LmmsEvalAdapter, VQAEval

@@ -84,9 +84,8 @@ def _decode_attn_chunked(q, cache, layer, policy, cfg, chunk: int):
     vs, vz = ((None, None) if fp else
               (cache['v_s'], cache.get('v_z')))
 
-    def body(c, carry):
+    def one(off, carry):
         m, l, acc = carry
-        off = c * chunk
         k_c = read_chunk(kbuf, ks, kz, off)      # [B, chunk, KVH, hd]
         v_c = read_chunk(vbuf, vs, vz, off)
         s = jnp.einsum('bkgd,bskd->bkgs', qg, k_c,
@@ -102,10 +101,20 @@ def _decode_attn_chunked(q, cache, layer, policy, cfg, chunk: int):
             'bkgs,bskd->bkgd', p, v_c, preferred_element_type=F32)
         return m_new, l, acc
 
+    def body(it, carry):
+        # 2-way unroll: the while loop serializes iterations, so pairing
+        # two chunk reads per iteration overlaps their DMAs; an
+        # out-of-range second chunk contributes nothing (its positions
+        # mask to -inf; a clamped OOB slice read only feeds masked lanes)
+        off = it * (2 * chunk)
+        carry = one(off, carry)
+        return one(off + chunk, carry)
+
     m0 = jnp.full((B, KVH, G), -jnp.inf, F32)
     l0 = jnp.zeros((B, KVH, G), F32)
     a0 = jnp.zeros((B, KVH, G, hd), F32)
-    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, a0))
+    m, l, acc = jax.lax.fori_loop(0, (n_chunks + 1) // 2, body,
+                                  (m0, l0, a0))
     ctx = acc / jnp.maximum(l[..., None], 1e-30)
     return ctx.reshape(B, 1, H, hd)
 

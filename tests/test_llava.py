@@ -149,3 +149,37 @@ def test_token_reduction_wirings(tiny_llava_dir, tr_cfg, exp_delta):
     # the final-token prediction stays in-distribution (same top-16
     # mass region) — a smoke check that pruning kept salient content
     assert np.isfinite(out[0, -1]).all()
+
+
+def test_vqa_eval_native(tiny_llava_dir):
+    """Native VQA eval: exact-match scoring + latency statistics
+    (reference eval_vqa.py semantics without lmms-eval)."""
+    path, _ = tiny_llava_dir
+    from llmc_tpu.models.adapter import LlavaAdapter
+    from llmc_tpu.eval.vqa import VQAEval
+    ours = LlavaAdapter.from_pretrained(path, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    samples = []
+    for i in range(3):
+        ids, px = _inputs(rng, B=1, S=10)
+        # self-consistent answers: whatever the model greedily says
+        logits = ours.forward_logits(jnp.asarray(ids),
+                                     pixel_values=jnp.asarray(px))
+        a0 = int(np.argmax(np.asarray(logits)[0, -1]))
+        samples.append({'input_ids': ids[0], 'pixel_values': px,
+                        'answer_ids': [a0] if i < 2 else [a0 + 1]})
+    ev = VQAEval(samples, max_new_tokens=2)
+    res = ev.eval(ours)
+    assert res['n'] == 3
+    assert abs(res['accuracy'] - 2 / 3) < 1e-6
+    assert res['prefill_p50_ms'] > 0
+
+
+def test_img_general_preproc():
+    from llmc_tpu.utils import PREPROC_REGISTRY
+    import llmc_tpu.data  # noqa: F401
+    rng = np.random.RandomState(0)
+    imgs = [rng.randn(3, 8, 8).astype(np.float32) for _ in range(5)]
+    out = PREPROC_REGISTRY['img_general'](imgs, None, 3)
+    assert len(out) == 3
+    assert out[0]['pixel_values'].shape == (1, 3, 8, 8)
