@@ -37,7 +37,7 @@ def _eval_ids(config, tokenizer) -> Optional[np.ndarray]:
         vocab = ev0.get('vocab_size', 32000)
         return rng.randint(0, vocab, size=(n,)).astype(np.int32)
     path = ev0.get('path')
-    if path and os.path.exists(path):
+    if path and os.path.isfile(path):
         with open(path) as f:
             text = f.read()
         return np.asarray(tokenizer(text)['input_ids'], np.int32)

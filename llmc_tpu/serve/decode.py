@@ -33,6 +33,14 @@ import os as _os
 CHUNKED_DECODE = _os.environ.get('LLMC_CHUNKED', '1') == '1'
 CHUNKED_MIN_LEN = int(_os.environ.get('LLMC_CHUNKED_MIN', '0'))
 _CHUNK_OPTS = (512, 256, 128, 64, 32)
+# Pallas flash-decode kernel (ops/flash_decode.py): one pallas_call per
+# layer streams the valid KV prefix with pipelined chunk DMAs.
+# LLMC_ATTN=flash|chunked|full.  Default is the XLA chunked path: on
+# v5e at serving batch (B=64) it beats the per-batch-grid flash kernel
+# (2714 vs 2021 tok/s) because XLA batches the whole B into one MXU
+# einsum while the kernel's (B, chunk) grid serializes per-slot VPU
+# reductions; flash remains available for long-context/low-batch use.
+ATTN_IMPL = _os.environ.get('LLMC_ATTN', 'chunked')
 
 
 def _chunk_for(smax: int):
@@ -40,6 +48,11 @@ def _chunk_for(smax: int):
         if smax % c == 0:
             return c
     return None
+
+
+def _flash_chunk(smax: int, kvh: int, hd: int) -> int:
+    from ..ops.flash_decode import _pick_chunk
+    return _pick_chunk(smax, kvh, hd)
 
 
 def _decode_attn_chunked(q, cache, layer, policy, cfg, chunk: int):
@@ -62,22 +75,27 @@ def _decode_attn_chunked(q, cache, layer, policy, cfg, chunk: int):
     qg = q[:, 0].reshape(B, KVH, G, hd).astype(F32)
 
     def read_chunk(buf, sbuf, zbuf, off):
+        """Returns (codes_or_values, scale, zero); scale/zero are [B,
+        chunk, KVH] or None.  For the symmetric-int8 case the codes are
+        NOT dequantized here: the per-(token,head) scale is applied to
+        the POST-DOT scores/probs instead — a [B,C,KVH] multiply instead
+        of [B,C,KVH,hd], which removes the hd-wide VPU dequant that made
+        int8 attention slower than fp in absolute ms (215 vs 565 GB/s
+        streaming measured on v5e)."""
         c = jax.lax.dynamic_slice(
             buf, (layer, 0, off, 0, 0),
             (1, B, chunk, KVH, hd))[0]
         if fp:
-            return c
-        # dequant in f32: the VPU is f32-native — a bf16 variant measured
-        # 2x SLOWER end-to-end (1285 vs 2714 tok/s at B=64) despite the
-        # narrower intermediates
+            return c, None, None
         s = jax.lax.dynamic_slice(
-            sbuf, (layer, 0, off, 0, 0), (1, B, chunk, KVH, 1))[0]
-        out = c.astype(F32)
-        if zbuf is not None:
-            z = jax.lax.dynamic_slice(
-                zbuf, (layer, 0, off, 0, 0), (1, B, chunk, KVH, 1))[0]
-            out = out - z
-        return out * s
+            sbuf, (layer, 0, off, 0), (1, B, chunk, KVH))[0]
+        if zbuf is None:
+            return c, s, None
+        # asymmetric: dequant elementwise (zero-point folding into the
+        # dot would need an extra sum(q)/sum(p) correction term)
+        z = jax.lax.dynamic_slice(
+            zbuf, (layer, 0, off, 0), (1, B, chunk, KVH))[0]
+        return (c.astype(F32) - z[..., None]) * s[..., None], None, None
 
     ks, kz = ((None, None) if fp else
               (cache['k_s'], cache.get('k_z')))
@@ -86,10 +104,13 @@ def _decode_attn_chunked(q, cache, layer, policy, cfg, chunk: int):
 
     def one(off, carry):
         m, l, acc = carry
-        k_c = read_chunk(kbuf, ks, kz, off)      # [B, chunk, KVH, hd]
-        v_c = read_chunk(vbuf, vs, vz, off)
+        k_c, k_sc, _ = read_chunk(kbuf, ks, kz, off)  # [B, chunk, KVH, hd]
+        v_c, v_sc, _ = read_chunk(vbuf, vs, vz, off)
         s = jnp.einsum('bkgd,bskd->bkgs', qg, k_c,
                        preferred_element_type=F32)   # [B, KVH, G, chunk]
+        if k_sc is not None:
+            # codes went straight to the MXU; fold the scale into scores
+            s = s * k_sc.transpose(0, 2, 1)[:, :, None, :]
         idx = off + jnp.arange(chunk)
         s = jnp.where(idx[None, None, None, :]
                       <= pos[:, None, None, None], s, -jnp.inf)
@@ -97,24 +118,20 @@ def _decode_attn_chunked(q, cache, layer, policy, cfg, chunk: int):
         p = jnp.exp(s - m_new[..., None])
         corr = jnp.exp(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1)
+        if v_sc is not None:
+            # fold the V scale into the probabilities pre-dot
+            p = p * v_sc.transpose(0, 2, 1)[:, :, None, :]
         acc = acc * corr[..., None] + jnp.einsum(
             'bkgs,bskd->bkgd', p, v_c, preferred_element_type=F32)
         return m_new, l, acc
 
     def body(it, carry):
-        # 2-way unroll: the while loop serializes iterations, so pairing
-        # two chunk reads per iteration overlaps their DMAs; an
-        # out-of-range second chunk contributes nothing (its positions
-        # mask to -inf; a clamped OOB slice read only feeds masked lanes)
-        off = it * (2 * chunk)
-        carry = one(off, carry)
-        return one(off + chunk, carry)
+        return one(it * chunk, carry)
 
     m0 = jnp.full((B, KVH, G), -jnp.inf, F32)
     l0 = jnp.zeros((B, KVH, G), F32)
     a0 = jnp.zeros((B, KVH, G, hd), F32)
-    m, l, acc = jax.lax.fori_loop(0, (n_chunks + 1) // 2, body,
-                                  (m0, l0, a0))
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, a0))
     ctx = acc / jnp.maximum(l[..., None], 1e-30)
     return ctx.reshape(B, 1, H, hd)
 
@@ -172,10 +189,25 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
         else cache.get('k_q')
     Smax = kbuf.shape[2]
     chunkc = _chunk_for(Smax)
-    if (CHUNKED_DECODE and S == 1 and Smax >= CHUNKED_MIN_LEN
-            and policy.method in ('fp', 'naive')
-            and not cfg.use_alibi and not cfg.attn_logit_softcap
-            and not cfg.sliding_window and chunkc is not None):
+    attn_ok = (S == 1 and policy.method in ('fp', 'naive')
+               and not cfg.use_alibi and not cfg.attn_logit_softcap
+               and not cfg.sliding_window)
+    if (ATTN_IMPL == 'flash' and attn_ok and 'k_z' not in cache
+            and jax.default_backend() != 'cpu'
+            and _flash_chunk(Smax, cfg.num_key_value_heads, hd) >= 32):
+        from ..ops.flash_decode import flash_decode_attention
+        pos = jnp.broadcast_to(jnp.asarray(cache['pos']), (B,))
+        fp = policy.method == 'fp'
+        ctx = flash_decode_attention(
+            q[:, 0].astype(F32) * scale,
+            cache['k'] if fp else cache['k_q'],
+            cache['v'] if fp else cache['v_q'],
+            None if fp else cache['k_s'],
+            None if fp else cache['v_s'],
+            pos, jnp.asarray(layer, jnp.int32),
+        ).reshape(B, 1, H, hd).astype(x.dtype)
+    elif (ATTN_IMPL != 'full' and CHUNKED_DECODE and attn_ok
+            and Smax >= CHUNKED_MIN_LEN and chunkc is not None):
         ctx = _decode_attn_chunked(q.astype(F32) * scale, cache, layer,
                                    policy, cfg, chunkc).astype(x.dtype)
     else:

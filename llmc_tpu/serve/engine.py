@@ -102,9 +102,12 @@ class ServingEngine:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             kv_spec = NamedSharding(mesh, P(None, None, None, 'tp', None))
+            # scale buffers are [L,B,S,KVH] (squeezed) — shard KVH too
+            sc_spec = NamedSharding(mesh, P(None, None, None, 'tp'))
             rep = NamedSharding(mesh, P())
-            cache = {k: (jax.device_put(v, kv_spec) if v.ndim == 5
-                         else jax.device_put(v, rep))
+            cache = {k: jax.device_put(
+                         v, kv_spec if v.ndim == 5
+                         else sc_spec if v.ndim == 4 else rep)
                      for k, v in cache.items()}
         self.cache = cache
         self.key = jax.random.PRNGKey(seed)

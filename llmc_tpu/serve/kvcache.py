@@ -45,17 +45,21 @@ class KVCachePolicy:
                 'v': jnp.zeros(shape, dtype),
                 'pos': jnp.zeros((), jnp.int32),
             }
-        # quantized codes + scales (+ zeros if asymmetric)
+        # quantized codes + scales (+ zeros if asymmetric).  Scales are
+        # stored SQUEEZED [L,B,S,KVH] (not [...,1]): a trailing 1-axis
+        # would lane-pad 128x under the default TPU tiled layout, which
+        # both wastes HBM and forces a 5 GB layout copy whenever the
+        # buffer feeds a pallas_call (flash_decode).
         cache = {
             'k_q': jnp.zeros(shape, jnp.int8),
             'v_q': jnp.zeros(shape, jnp.int8),
-            'k_s': jnp.zeros(shape[:-1] + (1,), F32),
-            'v_s': jnp.zeros(shape[:-1] + (1,), F32),
+            'k_s': jnp.zeros(shape[:-1], F32),
+            'v_s': jnp.zeros(shape[:-1], F32),
             'pos': jnp.zeros((), jnp.int32),
         }
         if not self.symmetric:
-            cache['k_z'] = jnp.zeros(shape[:-1] + (1,), F32)
-            cache['v_z'] = jnp.zeros(shape[:-1] + (1,), F32)
+            cache['k_z'] = jnp.zeros(shape[:-1], F32)
+            cache['v_z'] = jnp.zeros(shape[:-1], F32)
         if self.method == 'kivi':
             rshape = (n_blocks, batch, self.residual_length, kv_heads,
                       head_dim)
@@ -106,11 +110,11 @@ class KVCachePolicy:
         vq, vs, vz = self._quant(v_new)
         cache['k_q'] = _upd(cache['k_q'], layer, pos, kq)
         cache['v_q'] = _upd(cache['v_q'], layer, pos, vq)
-        cache['k_s'] = _upd(cache['k_s'], layer, pos, ks)
-        cache['v_s'] = _upd(cache['v_s'], layer, pos, vs)
+        cache['k_s'] = _upd(cache['k_s'], layer, pos, ks[..., 0])
+        cache['v_s'] = _upd(cache['v_s'], layer, pos, vs[..., 0])
         if kz is not None:
-            cache['k_z'] = _upd(cache['k_z'], layer, pos, kz)
-            cache['v_z'] = _upd(cache['v_z'], layer, pos, vz)
+            cache['k_z'] = _upd(cache['k_z'], layer, pos, kz[..., 0])
+            cache['v_z'] = _upd(cache['v_z'], layer, pos, vz[..., 0])
         if self.method == 'kivi':
             cache['k_r'] = _roll_in(cache['k_r'], layer, k_new)
             cache['v_r'] = _roll_in(cache['v_r'], layer, v_new)
@@ -121,12 +125,12 @@ class KVCachePolicy:
                                                             jax.Array]:
         if self.method in ('fp', 'sink'):
             return cache['k'][layer], cache['v'][layer]
-        k = self._dequant(cache['k_q'][layer], cache['k_s'][layer],
-                          cache['k_z'][layer] if 'k_z' in cache else None,
-                          dtype)
-        v = self._dequant(cache['v_q'][layer], cache['v_s'][layer],
-                          cache['v_z'][layer] if 'v_z' in cache else None,
-                          dtype)
+        k = self._dequant(cache['k_q'][layer], cache['k_s'][layer][..., None],
+                          cache['k_z'][layer][..., None]
+                          if 'k_z' in cache else None, dtype)
+        v = self._dequant(cache['v_q'][layer], cache['v_s'][layer][..., None],
+                          cache['v_z'][layer][..., None]
+                          if 'v_z' in cache else None, dtype)
         if self.method == 'kivi':
             # overwrite the most recent residual_length tokens (including
             # the ones written this step) with their FP values — the
@@ -150,11 +154,12 @@ class KVCachePolicy:
 
 
 def _upd(buf, layer, pos, new):
-    """buf: [L,B,S,KH,hd]; write new [B,s,KH,hd] at [layer,:,pos:pos+s].
+    """buf: [L,B,S,...]; write new [B,s,...] at [layer,:,pos:pos+s].
 
     ``pos`` may be a scalar (lockstep decode/prefill) or a [B] vector of
     per-slot positions (continuous-batching engine) — the vector case
-    scatters each slot's tokens at its own offset."""
+    scatters each slot's tokens at its own offset.  Rank-generic: buffers
+    are [L,B,S,KH,hd] for codes and [L,B,S,KH] for scales."""
     if getattr(pos, 'ndim', 0) == 1:
         B, s = new.shape[0], new.shape[1]
         idx = pos[:, None] + jnp.arange(s)[None, :]        # [B, s]
@@ -162,7 +167,7 @@ def _upd(buf, layer, pos, new):
             new.astype(buf.dtype))
     return jax.lax.dynamic_update_slice(
         buf, new[None].astype(buf.dtype),
-        (layer, 0, pos, 0, 0))
+        (layer, 0, pos) + (0,) * (buf.ndim - 3))
 
 
 def _roll_in(buf, layer, new):
