@@ -148,9 +148,12 @@ def opt_layout(cfg: OptConfig) -> BlockLayout:
         SubsetSpec(name='fc1', layers=('fc1',),
                    prev_op='final_layer_norm', prev_kind='ln',
                    input_key='fc1_in', inspect='fc1', is_mlp=True),
+        # do_trans=False: the reference opt.py:81-89 disables the
+        # fc1->fc2 scale transform (ReLU sits between them)
         SubsetSpec(name='fc2', layers=('fc2',),
                    prev_op='fc1', prev_kind='fc',
-                   input_key='fc2_in', inspect='fc2', is_mlp=True),
+                   input_key='fc2_in', inspect='fc2', is_mlp=True,
+                   do_trans=False),
     )
     linears = ('self_attn.q_proj', 'self_attn.k_proj', 'self_attn.v_proj',
                'self_attn.out_proj', 'fc1', 'fc2')

@@ -1,0 +1,248 @@
+"""End-to-end PPL parity: reference pipeline (torch, /root/reference) vs
+llmc_tpu on the SAME checkpoint, tokenizer, calib and eval data.
+
+This is the round-2 acceptance gate (BASELINE.md: quantized-model quality
+within 0.1 PPL of the reference).  No real checkpoints are downloadable in
+this environment (zero egress), so we build a tiny random-weight OPT/Llama
+checkpoint + a locally-trained BPE tokenizer + on-disk calib/eval datasets,
+then run BOTH pipelines end-to-end (the reference via tools/ref_pipeline.py,
+which executes the reference's actual ``main()``, mirroring its own CPU
+ci_check) and diff the PPLs at every eval position.
+
+Usage:
+    python tools/parity.py --workdir /tmp/parity --out PARITY.md
+
+Methods covered: AWQ W4A16 (ci_check/awq_w4a16_fakequant_eval.yml shape)
+and GPTQ W4A16 (ci_check/gptq_w_only.yml shape).
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORDS = ('the of and to in is was he for it with as his on be at by i '
+         'this had not are but from or have an they which one you were '
+         'her all she there would their we him been has when who will '
+         'more no if out so said what up its about into than them can '
+         'only other new some could time these two may then do first '
+         'any my now such like our over man me even most made after '
+         'also did many before must through back years where much your '
+         'way well down should because each just those people mr how '
+         'too little state good very make world still own see men work '
+         'long get here between both life being under never day same '
+         'another know while last might us great old year off come '
+         'since against go came right used take three').split()
+
+
+def _text(rng, n_words):
+    return ' '.join(rng.choice(WORDS) for _ in range(n_words))
+
+
+def build_artifacts(workdir, arch='opt', seed=0):
+    """Tiny checkpoint + tokenizer + calib/eval datasets under workdir."""
+    import random
+
+    import torch
+    from datasets import Dataset
+    rng = random.Random(seed)
+    ckpt = os.path.join(workdir, f'{arch}_tiny')
+    calib_dir = os.path.join(workdir, 'calib_pileval')
+    eval_dir = os.path.join(workdir, 'eval_wikitext2')
+    os.makedirs(workdir, exist_ok=True)
+
+    if not os.path.exists(os.path.join(ckpt, 'config.json')):
+        # tokenizer: tiny BPE trained locally (no egress)
+        from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+        tok = Tokenizer(models.BPE(unk_token='<unk>'))
+        tok.pre_tokenizer = pre_tokenizers.Whitespace()
+        trainer = trainers.BpeTrainer(
+            vocab_size=384,
+            special_tokens=['<pad>', '</s>', '<unk>'])
+        tok.train_from_iterator((_text(rng, 200) for _ in range(200)),
+                                trainer)
+        from transformers import PreTrainedTokenizerFast
+        fast = PreTrainedTokenizerFast(
+            tokenizer_object=tok, pad_token='<pad>', eos_token='</s>',
+            bos_token='</s>', unk_token='<unk>')
+        vocab = len(fast)
+
+        torch.manual_seed(seed)
+        if arch == 'opt':
+            from transformers import OPTConfig, OPTForCausalLM
+            cfg = OPTConfig(
+                vocab_size=vocab, hidden_size=64, ffn_dim=128,
+                num_hidden_layers=2, num_attention_heads=4,
+                max_position_embeddings=512, word_embed_proj_dim=64,
+                do_layer_norm_before=True)
+            model = OPTForCausalLM(cfg)
+        else:
+            from transformers import LlamaConfig, LlamaForCausalLM
+            cfg = LlamaConfig(
+                vocab_size=vocab, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, max_position_embeddings=512)
+            model = LlamaForCausalLM(cfg)
+        model = model.to(torch.float32).eval()
+        model.save_pretrained(ckpt, safe_serialization=True)
+        fast.save_pretrained(ckpt)
+
+    if not os.path.exists(calib_dir):
+        # short lines: pileval_awq keeps only lines encoding to <= seq_len
+        Dataset.from_dict(
+            {'text': [_text(rng, rng.randint(8, 16)) for _ in range(64)]}
+        ).save_to_disk(calib_dir)
+    if not os.path.exists(eval_dir):
+        Dataset.from_dict(
+            {'text': [_text(rng, 80) for _ in range(24)]}
+        ).save_to_disk(eval_dir)
+    return ckpt, calib_dir, eval_dir
+
+
+def _cfg_awq(ckpt, calib_dir, eval_dir):
+    return {
+        'base': {'seed': 42},
+        'model': {'type': 'Opt', 'path': ckpt, 'torch_dtype': 'auto'},
+        'calib': {'name': 'pileval', 'download': False, 'path': calib_dir,
+                  'n_samples': 8, 'bs': -1, 'seq_len': 32,
+                  'preproc': 'pileval_awq', 'seed': 42},
+        'eval': {'eval_pos': ['pretrain', 'transformed', 'fake_quant'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'quant': {'method': 'Awq',
+                  'weight': {'bit': 4, 'symmetric': False,
+                             'granularity': 'per_group', 'group_size': 32},
+                  'special': {'trans': True, 'trans_version': 'v2',
+                              'weight_clip': True, 'clip_sym': False}},
+    }
+
+
+def _cfg_gptq(ckpt, calib_dir, eval_dir):
+    return {
+        'base': {'seed': 0},
+        'model': {'type': 'Opt', 'path': ckpt, 'torch_dtype': 'auto'},
+        'calib': {'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                  'n_samples': 4, 'bs': 1, 'seq_len': 32,
+                  'preproc': 'wikitext2_gptq', 'seed': 0},
+        'eval': {'eval_pos': ['pretrain', 'fake_quant'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'quant': {'method': 'GPTQ',
+                  'weight': {'bit': 4, 'symmetric': False,
+                             'granularity': 'per_group', 'group_size': 32},
+                  'special': {'actorder': True, 'static_groups': False,
+                              'percdamp': 0.01, 'blocksize': 32,
+                              'true_sequential': True},
+                  'quant_out': True},
+    }
+
+
+def _cfg_rtn(ckpt, calib_dir, eval_dir):
+    return {
+        'base': {'seed': 42},
+        'model': {'type': 'Opt', 'path': ckpt, 'torch_dtype': 'auto'},
+        'calib': {'name': 'pileval', 'download': False, 'path': calib_dir,
+                  'n_samples': 4, 'bs': -1, 'seq_len': 32,
+                  'preproc': 'pileval_awq', 'seed': 42},
+        'eval': {'eval_pos': ['pretrain', 'fake_quant'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'quant': {'method': 'RTN',
+                  'weight': {'bit': 4, 'symmetric': True,
+                             'granularity': 'per_group', 'group_size': 32}},
+    }
+
+
+CONFIGS = {'AWQ-W4A16': _cfg_awq, 'GPTQ-W4A16': _cfg_gptq,
+           'RTN-W4A16': _cfg_rtn}
+
+
+def run_reference(cfg_path, out_path):
+    env = dict(os.environ)
+    env.pop('JAX_PLATFORMS', None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools/ref_pipeline.py'),
+         '--config', cfg_path, '--out', out_path],
+        capture_output=True, text=True, env=env, timeout=1800)
+    if r.returncode != 0:
+        raise RuntimeError(f'reference pipeline failed:\n{r.stdout[-3000:]}'
+                           f'\n{r.stderr[-3000:]}')
+    with open(out_path) as f:
+        return json.load(f)
+
+
+def run_ours(cfg_path):
+    env = dict(os.environ,
+               LLMC_PLATFORM='cpu', LLMC_HOST_DEVICES='1')
+    r = subprocess.run(
+        [sys.executable, '-m', 'llmc_tpu', '--config', cfg_path],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=1800)
+    if r.returncode != 0:
+        raise RuntimeError(f'llmc_tpu pipeline failed:\n{r.stdout[-3000:]}'
+                           f'\n{r.stderr[-3000:]}')
+    out = {}
+    for line in r.stdout.splitlines():
+        m = re.match(r'(ppl_\w+): ([0-9.eE+-]+)', line.strip())
+        if m:
+            out[m.group(1)] = float(m.group(2))
+    return out
+
+
+def run_parity(workdir, methods=None):
+    import yaml
+    ckpt, calib_dir, eval_dir = build_artifacts(workdir)
+    rows = []
+    for name, mk in CONFIGS.items():
+        if methods and name not in methods:
+            continue
+        cfg = mk(ckpt, calib_dir, eval_dir)
+        cfg_path = os.path.join(workdir, f'{name}.yml')
+        with open(cfg_path, 'w') as f:
+            yaml.safe_dump(cfg, f)
+        ref = run_reference(cfg_path,
+                            os.path.join(workdir, f'{name}_ref.json'))
+        ours = run_ours(cfg_path)
+        for pos in ('pretrain', 'transformed', 'fake_quant'):
+            rk = ref.get(pos, {}).get('ppl wikitext2')
+            ok = ours.get(f'ppl_{pos}')
+            if rk is not None and ok is not None:
+                rows.append((name, pos, rk, ok, abs(rk - ok)))
+    return rows
+
+
+def write_md(rows, path):
+    with open(path, 'w') as f:
+        f.write(
+            '# PARITY — end-to-end PPL vs the reference pipeline\n\n'
+            'Both pipelines (the reference `/root/reference` llmc, run via\n'
+            'its own `main()` on CPU exactly as its ci_check does, and\n'
+            '`llmc_tpu`) consume the SAME tiny random-weight OPT\n'
+            'checkpoint, the same locally-trained BPE tokenizer, and the\n'
+            'same on-disk calib/eval datasets (`tools/parity.py`).\n'
+            'Acceptance gate (BASELINE.md): |ΔPPL| ≤ 0.1.\n\n'
+            '| method | eval_pos | reference PPL | llmc_tpu PPL | |Δ| |\n'
+            '|---|---|---|---|---|\n')
+        for name, pos, rk, ok, d in rows:
+            f.write(f'| {name} | {pos} | {rk:.4f} | {ok:.4f} '
+                    f'| {d:.4f} |\n')
+        worst = max((d for *_, d in rows), default=float('nan'))
+        f.write(f'\nWorst |ΔPPL| = **{worst:.4f}** '
+                f'({"PASS" if worst <= 0.1 else "FAIL"} vs the 0.1 gate).\n'
+                '\nRegenerate: `python tools/parity.py --workdir '
+                '/tmp/parity --out PARITY.md`\n')
+
+
+if __name__ == '__main__':
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--workdir', default='/tmp/parity')
+    ap.add_argument('--out', default=os.path.join(REPO, 'PARITY.md'))
+    ap.add_argument('--methods', nargs='*', default=None)
+    a = ap.parse_args()
+    rows = run_parity(a.workdir, a.methods)
+    write_md(rows, a.out)
+    for r in rows:
+        print(r)

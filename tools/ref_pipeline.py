@@ -1,0 +1,253 @@
+"""Run the read-only reference pipeline (/root/reference llmc) end-to-end
+on CPU as a PARITY oracle.
+
+Usage:  python tools/ref_pipeline.py --config CFG.yml --out RESULTS.json
+
+Runs the reference's real ``main(config)`` (llmc/__main__.py:28) in this
+process with:
+  - optional deps stubbed (loguru -> logging, qtorch, easydict, librosa,
+    lmms_eval, decord, ...) — nothing in /root/reference is modified;
+  - ``.cuda()`` monkeypatched to the identity so the CUDA-only reference
+    runs on the CPU (this mirrors the reference's own ci_check/
+    change_files.py, which rewrites .cuda() -> .cpu() on its CPU runner);
+  - a single-process gloo process group (their CI uses torchrun nproc=1).
+
+Captures every ``EVAL: <type> on <dataset> is <value>`` line the
+reference logs (llmc/eval/utils.py:92) and writes them as JSON:
+    {"pretrain": {"ppl wikitext2": 12.3}, "transformed": {...}, ...}
+"""
+
+import argparse
+import json
+import logging
+import os
+import re
+import sys
+import types
+
+REF_ROOT = '/root/reference'
+
+
+class EasyDict(dict):
+    """Minimal attribute-access dict (stand-in for the easydict pkg)."""
+
+    def __init__(self, d=None, **kw):
+        super().__init__()
+        d = dict(d or {}, **kw)
+        for k, v in d.items():
+            self[k] = v
+
+    def __setitem__(self, k, v):
+        if isinstance(v, dict) and not isinstance(v, EasyDict):
+            v = EasyDict(v)
+        elif isinstance(v, (list, tuple)):
+            v = type(v)(EasyDict(x) if isinstance(x, dict) and
+                        not isinstance(x, EasyDict) else x for x in v)
+        super().__setitem__(k, v)
+        super().__setattr__(k, v)
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+
+def _stub(name, **attrs):
+    mod = sys.modules.get(name) or types.ModuleType(name)
+    mod.__path__ = []          # make it a package so submodules resolve
+    if mod.__spec__ is None:   # importlib.util.find_spec probes need one
+        import importlib.machinery
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    # register on the parent chain so `import a.b.c` finds each level
+    if '.' in name:
+        parent, child = name.rsplit('.', 1)
+        setattr(_stub(parent), child, mod)
+    return mod
+
+
+def install_stubs():
+    log = logging.getLogger('ref')
+    log.setLevel(logging.INFO)
+
+    class _Loguru:
+        def info(self, msg, *a, **k):
+            log.info(str(msg))
+
+        warning = info
+        error = info
+        debug = info
+
+        def remove(self, *a, **k):
+            pass
+
+        def add(self, *a, **k):
+            pass
+
+    _stub('loguru', logger=_Loguru())
+    _stub('easydict', EasyDict=EasyDict)
+    qtq = _stub('qtorch.quant', float_quantize=None)
+    _stub('qtorch', quant=qtq)
+    for opt in ('librosa', 'decord', 'av'):
+        _stub(opt)
+    class _Any:
+        """Attribute sink: any attribute access returns a dummy class."""
+
+        def __getattr__(self, k):
+            return object
+
+    _stub('torchvision.transforms', Compose=object, Resize=object,
+          CenterCrop=object, ToTensor=object, Normalize=object,
+          InterpolationMode=_Any())
+    _stub('torchvision.transforms.functional', InterpolationMode=_Any())
+    _stub('torchvision.datasets', ImageFolder=object)
+    # lmms_eval tree used by the VLM/eval wrappers at import time
+    _stub('lmms_eval.api.model', lmms=object)
+    _stub('lmms_eval.api.instance', Instance=object)
+    _stub('lmms_eval.evaluator', evaluate=lambda *a, **k: {})
+    _stub('lmms_eval.evaluator_utils', run_task_tests=lambda *a, **k: None)
+    _stub('lmms_eval.loggers.evaluation_tracker', EvaluationTracker=object)
+    _stub('lmms_eval.tasks', TaskManager=object,
+          get_task_dict=lambda *a, **k: {})
+    _stub('lmms_eval.utils', get_datetime_str=lambda: '',
+          make_table=lambda *a, **k: '',
+          simple_parse_args_string=lambda s: {})
+    for m in ('llava', 'llava_hf', 'llava_onevision', 'video_llava',
+              'qwen2_audio', 'internvl2'):
+        _stub(f'lmms_eval.models.{m}',
+              **{n: object for n in ('Llava', 'LlavaHf', 'Llava_OneVision',
+                                     'VideoLLaVA', 'Qwen2_Audio',
+                                     'InternVL2')})
+    _stub('human_eval.data', read_problems=lambda: {},
+          write_jsonl=lambda *a, **k: None,
+          stream_jsonl=lambda *a, **k: iter(()))
+    _stub('human_eval.evaluation',
+          evaluate_functional_correctness=lambda *a, **k: {})
+    _stub('diffusers.utils', export_to_video=lambda *a, **k: None,
+          load_image=lambda *a, **k: None)
+    _stub('diffusers', AutoencoderKLWan=object, WanPipeline=object,
+          WanImageToVideoPipeline=object)
+
+
+def patch_cpu():
+    import torch
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    def _decuda(args, kwargs):
+        def fix(v):
+            if isinstance(v, (str, torch.device)) and 'cuda' in str(v):
+                return 'cpu'
+            return v
+        return ([fix(a) for a in args],
+                {k: fix(v) for k, v in kwargs.items()})
+
+    _t_to, _m_to = torch.Tensor.to, torch.nn.Module.to
+
+    def t_to(self, *a, **k):
+        a, k = _decuda(a, k)
+        return _t_to(self, *a, **k)
+
+    def m_to(self, *a, **k):
+        a, k = _decuda(a, k)
+        return _m_to(self, *a, **k)
+
+    torch.Tensor.to = t_to
+    torch.nn.Module.to = m_to
+
+    def wrap_factory(fn):
+        def g(*a, **k):
+            if 'cuda' in str(k.get('device', '')):
+                k['device'] = 'cpu'
+            return fn(*a, **k)
+        return g
+
+    for fname in ('tensor', 'zeros', 'ones', 'empty', 'full', 'arange',
+                  'zeros_like', 'ones_like', 'rand', 'randn', 'eye',
+                  'linspace'):
+        setattr(torch, fname, wrap_factory(getattr(torch, fname)))
+    if not torch.cuda.is_available():
+        torch.cuda.empty_cache = lambda: None
+        torch.cuda.set_device = lambda *a, **k: None
+        torch.cuda.synchronize = lambda *a, **k: None
+        torch.cuda.reset_peak_memory_stats = lambda *a, **k: None
+        torch.cuda.max_memory_allocated = lambda *a, **k: 0
+        torch.cuda.memory_allocated = lambda *a, **k: 0
+        torch.cuda.current_device = lambda: 'cpu'
+        torch.cuda.device_count = lambda: 1
+
+
+def run(config_path: str) -> dict:
+    install_stubs()
+    patch_cpu()
+    os.environ.setdefault('RANK', '0')
+    os.environ.setdefault('LOCAL_RANK', '0')
+    os.environ.setdefault('WORLD_SIZE', '1')
+    os.environ.setdefault('MASTER_ADDR', '127.0.0.1')
+    os.environ.setdefault('MASTER_PORT', '29571')
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+
+    import torch.distributed as dist
+    if not dist.is_initialized():
+        dist.init_process_group(backend='gloo', rank=0, world_size=1)
+
+    import yaml
+    with open(config_path) as f:
+        config = EasyDict(yaml.safe_load(f))
+
+    # capture the reference's EVAL log lines, tagged by eval position
+    results = {}
+    state = {'pos': 'pretrain'}
+    pat = re.compile(r'EVAL: (\S+) on (\S+) is ([0-9.eE+-]+)')
+
+    class Capture(logging.Handler):
+        def emit(self, rec):
+            m = pat.search(str(rec.getMessage()))
+            if m:
+                results.setdefault(state['pos'], {})[
+                    f'{m.group(1)} {m.group(2)}'] = float(m.group(3))
+
+    logging.getLogger('ref').addHandler(Capture())
+
+    from llmc.eval import utils as eval_utils
+    orig_eval_model = eval_utils.eval_model
+
+    def eval_model(model, blockwise_opts, eval_list, eval_pos):
+        state['pos'] = eval_pos
+        return orig_eval_model(model, blockwise_opts, eval_list, eval_pos)
+
+    eval_utils.eval_model = eval_model
+    import llmc.__main__ as ref_main
+    ref_main.eval_model = eval_model
+    # main() references save paths normally set up in the __main__ guard
+    if 'save' in config:
+        for key, sub in (('save_trans', 'transformed_model'),
+                         ('save_fake', 'fake_quant_model')):
+            if config.save.get(key, False):
+                p = os.path.join(config.save.save_path, sub)
+                os.makedirs(p, exist_ok=True)
+                setattr(ref_main, f'{key}_path', p)
+    from llmc.utils import check_config
+    check_config(config)
+    from llmc.utils.utils import seed_all
+    seed_all(config.base.seed)
+    ref_main.main(config)
+    return results
+
+
+if __name__ == '__main__':
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--config', required=True)
+    ap.add_argument('--out', required=True)
+    a = ap.parse_args()
+    res = run(a.config)
+    with open(a.out, 'w') as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res))
