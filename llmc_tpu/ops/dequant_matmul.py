@@ -74,7 +74,9 @@ def pack_weight(codes: jax.Array, scales: jax.Array,
             lo, hi = u[:, :, 0, :], u[:, :, 1, :]
             lo = lo.reshape(N, K // 2)
             hi = hi.reshape(N, K // 2)
-        packed = (lo | (hi << 4)).astype(jnp.int8)
+        # uint8 storage: zero-extends on widen, so the kernel's nibble
+        # decode needs no sign-correction mask
+        packed = (lo | (hi << 4)).astype(jnp.uint8)
     else:
         packed = codes.astype(jnp.int8)
     s = scales.reshape(N, -1).astype(F32)
@@ -141,24 +143,22 @@ def _dequant_matmul_xla(x, packed, scales, zeros, meta: QMeta):
 # Pallas TPU kernel
 # --------------------------------------------------------------------------
 
-import os
-# decode style: 'bitcast' (OR 0x4380 + bitcast, affine folded into the
-# epilogue) or 'cast' (direct u8 -> bf16 hardware casts, plain epilogue).
-# Measured equal on v5e half-7B decode; keep 'cast' (2 fewer VPU ops and
-# a simpler epilogue), env knob for re-measurement.
-_W4_DECODE = os.environ.get('LLMC_W4_DECODE', 'cast')
-
-
-def _kernel_w4(x_ref, w_ref, s_ref, zs_ref, o_ref, acc_ref, *, n_k: int,
+def _kernel_w4(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int,
                single_group: bool, pairs: int, gs: int):
     """Grid (i, j, k): ``pairs`` group-pairs per k step.
-    x [TM, pairs*2gs] bf16, w [TN, pairs*gs] packed int8 (UNSIGNED
-    nibbles — symmetric codes stored excess-8), s/zs [1, 2*pairs, TN]
-    f32 pre-transposed; zs = s * z_eff so the zero/offset correction is
-    applied to the [TM, TN] partials:
-        y = Σ_p s_p ⊙ (x_p @ u_p^T) − zs_p ⊙ Σ_k x_p[k]
-    This keeps the per-weight path to unpack+cast (≈3 VPU ops/elem); the
-    scale math runs on the MXU outputs instead of every weight."""
+    x [TM, pairs*2gs] bf16, w [TN, pairs*gs] packed uint8 (UNSIGNED
+    nibbles — symmetric codes stored excess-8), s [1, 2*pairs, TN] f32
+    pre-transposed.  The kernel computes only the positive half
+
+        y⁺ = Σ_p s_p ⊙ (x_p @ u_p^T)
+
+    The zero/offset correction y = y⁺ − XS @ (s·z_eff) is a rank-ng
+    matmul over precomputed per-group x sums, applied OUTSIDE the
+    kernel by the caller (XLA fuses it; it is ~M·ng·N flops, noise).
+    That halves the VPU epilogue — the kernel's per-weight cost is the
+    nibble decode (and/shift + u8→bf16 cast) plus one scale-mult-acc
+    per [TM, TN] partial; the dequant-affine never touches per-weight
+    lanes.  uint8 storage (not int8) removes the sign-extension mask."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -168,41 +168,21 @@ def _kernel_w4(x_ref, w_ref, s_ref, zs_ref, o_ref, acc_ref, *, n_k: int,
     x = x_ref[:].astype(jnp.bfloat16)
     acc = acc_ref[:]
     for p in range(pairs):  # static unroll: all slices 128-aligned
-        u = w_ref[:, p * gs:(p + 1) * gs].astype(jnp.int32) & 0xFF
-        if _W4_DECODE == 'bitcast':
-            # bf16 bit-trick: 0x4380 | m is 256 + 2m for m in [0,16):
-            # nibbles -> bf16 via OR + bitcast; affine folds below
-            b0 = ((u & 0xF) | 0x4380).astype(jnp.uint16)
-            b1 = ((u >> 4) | 0x4380).astype(jnp.uint16)
-            w0 = pltpu.bitcast(b0, jnp.bfloat16)
-            w1 = pltpu.bitcast(b1, jnp.bfloat16)
-        else:
-            # direct hardware casts: values 0..15 exact in bf16
-            w0 = (u & 0xF).astype(jnp.bfloat16)
-            w1 = (u >> 4).astype(jnp.bfloat16)
+        # uint8 -> i32 widen zero-extends (Mosaic has no sub-word
+        # shifts, and int8 storage would need a sign-correction mask)
+        u = w_ref[:, p * gs:(p + 1) * gs].astype(jnp.int32)
+        w0 = (u & 0xF).astype(jnp.bfloat16)          # 0..15 exact
+        w1 = (u >> 4).astype(jnp.bfloat16)
         i0, i1 = 2 * p, (2 * p + 1 if not single_group else 2 * p)
         s0 = s_ref[0, i0:i0 + 1, :].astype(F32)        # [1, TN]
         s1 = s_ref[0, i1:i1 + 1, :].astype(F32)
-        zs0 = zs_ref[0, i0:i0 + 1, :].astype(F32)
-        zs1 = zs_ref[0, i1:i1 + 1, :].astype(F32)
         x0 = x[:, 2 * p * gs:(2 * p + 1) * gs]
         x1 = x[:, (2 * p + 1) * gs:(2 * p + 2) * gs]
         part0 = jax.lax.dot_general(x0, w0, (((1,), (1,)), ((), ())),
                                     preferred_element_type=F32)
         part1 = jax.lax.dot_general(x1, w1, (((1,), (1,)), ((), ())),
                                     preferred_element_type=F32)
-        xs0 = jnp.sum(x0.astype(F32), axis=1, keepdims=True)  # [TM, 1]
-        xs1 = jnp.sum(x1.astype(F32), axis=1, keepdims=True)
-        if _W4_DECODE == 'bitcast':
-            # partN = 256*xsN + 2*(x@u^T) => x@u^T = (partN-256*xsN)/2
-            half = jnp.float32(0.5)
-            acc = (acc
-                   + (part0 * half - 128.0 * xs0) * s0
-                   + (part1 * half - 128.0 * xs1) * s1
-                   - xs0 * zs0 - xs1 * zs1)
-        else:
-            acc = (acc + part0 * s0 + part1 * s1
-                   - xs0 * zs0 - xs1 * zs1)
+        acc = acc + part0 * s0 + part1 * s1
     acc_ref[:] = acc
 
     @pl.when(k == n_k - 1)
@@ -253,10 +233,10 @@ def _choose_w4_tiles(N: int, tm: int, gs: int, ng: int):
     budget = 25 << 19
     for t in tn_opts:
         for p in [d for d in range(npairs, 0, -1) if npairs % d == 0]:
-            wtile = t * p * gs                # int8
+            wtile = t * p * gs                # uint8
             xtile = tm * 2 * p * gs * 2       # bf16
-            stile = 2 * (2 * p) * t * 4       # s3 + z3 blocks
-            otile = tm * t * 2                # bf16 out
+            stile = (2 * p) * t * 4           # s3 block
+            otile = tm * t * 4                # f32 out
             parts = 3 * tm * t * 4            # acc + part0/1 f32
             dec = 3 * t * gs                  # nibble-decode temporaries
             # (fit to Mosaic's measured stack: ~2.5B/packed-byte live at
@@ -303,14 +283,13 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
         n_k = K // span
         spg = max(ng // n_k, 1)
         if meta.pre_t:
-            # scales/zeros arrive [ng, N] pre-folded: reshape is free
+            # scales arrive [ng, N], zeros arrive pre-folded zs=s*z_eff
             s3 = scales.reshape(n_k, spg, N)
-            z3 = z.reshape(n_k, spg, N)
+            zs_ng = z                                   # [ng, N]
         else:
-            # pre-transpose to [n_k, spg, N]; fold z_eff into zs=s*z_eff
             z_eff = z + 8.0 if sym else z  # excess-8 storage offset
             s3 = scales.reshape(N, n_k, spg).transpose(1, 2, 0)
-            z3 = (scales * z_eff).reshape(N, n_k, spg).transpose(1, 2, 0)
+            zs_ng = (scales * z_eff).T                  # [ng, N]
         kernel = functools.partial(_kernel_w4, n_k=n_k,
                                    single_group=(ng == 1), pairs=pairs,
                                    gs=gsl)
@@ -318,21 +297,39 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
             pl.BlockSpec((tm, span), lambda i, j, k: (i, k)),
             pl.BlockSpec((tn, span // 2), lambda i, j, k: (j, k)),
             pl.BlockSpec((1, spg, tn), lambda i, j, k: (k, 0, j)),
-            pl.BlockSpec((1, spg, tn), lambda i, j, k: (k, 0, j)),
         ]
-    else:
-        n_k = ng
-        s3 = scales.reshape(N, ng, 1).transpose(1, 0, 2)
-        z3 = z.reshape(N, ng, 1).transpose(1, 0, 2)
-        kernel = functools.partial(_kernel_w8, n_k=n_k, sym=sym)
-        in_specs = [
-            pl.BlockSpec((tm, gs), lambda i, j, k: (i, k)),
-            pl.BlockSpec((tn, gs), lambda i, j, k: (j, k)),
-            pl.BlockSpec((1, tn, 1), lambda i, j, k: (k, j, 0)),
-            pl.BlockSpec((1, tn, 1), lambda i, j, k: (k, j, 0)),
-        ]
+        grid = (Mp // tm, N // tn, n_k)
+        y32 = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), F32),
+            scratch_shapes=[pltpu.VMEM((tm, tn), F32)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Mp * N * K,
+                bytes_accessed=Mp * K * 2 + N * K // 2 + Mp * N * 4,
+                transcendentals=0),
+        )(x, packed, s3)
+        # zero/excess-8 correction: y -= Σ_g (Σ_k∈g x_k) · s_g z_eff_g,
+        # a rank-ng matmul on per-group x sums (outside the kernel; XLA
+        # fuses it and its flops are M·ng·N — noise next to the GEMM)
+        xs = jnp.sum(x.astype(F32).reshape(Mp, ng, gs), axis=2)
+        out = (y32 - jnp.dot(xs, zs_ng.astype(F32),
+                             preferred_element_type=F32)).astype(x.dtype)
+        return out[:M]
+    n_k = ng
+    s3 = scales.reshape(N, ng, 1).transpose(1, 0, 2)
+    z3 = z.reshape(N, ng, 1).transpose(1, 0, 2)
+    kernel = functools.partial(_kernel_w8, n_k=n_k, sym=sym)
+    in_specs = [
+        pl.BlockSpec((tm, gs), lambda i, j, k: (i, k)),
+        pl.BlockSpec((tn, gs), lambda i, j, k: (j, k)),
+        pl.BlockSpec((1, tn, 1), lambda i, j, k: (k, j, 0)),
+        pl.BlockSpec((1, tn, 1), lambda i, j, k: (k, j, 0)),
+    ]
     grid = (Mp // tm, N // tn, n_k)
-    kdiv = 2 if meta.bits == 4 else 1
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -343,7 +340,7 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * N * K,
-            bytes_accessed=Mp * K * 2 + N * K // kdiv + Mp * N * 2,
+            bytes_accessed=Mp * K * 2 + N * K + Mp * N * 2,
             transcendentals=0),
     )(x, packed, s3, z3)
     return out[:M]
