@@ -45,10 +45,13 @@ class CalibDataset:
     # --- sources --------------------------------------------------------
     def _build(self):
         if self.name in ('synthetic', 'synthetic_vlm', 'synthetic_img',
-                         'synthetic_qwen2vl', 'synthetic_onevision'):
+                         'synthetic_qwen2vl', 'synthetic_onevision',
+                         'synthetic_t2v'):
             return None  # generated directly in get_calib_dataset
         if self.name == 'custom_txt':
             return self._load_custom_txt(self.path)
+        if self.name in ('t2v', 'i2v'):
+            return self._load_video_prompts(self.path)
         if self.download:
             import datasets
             hub = {
@@ -80,6 +83,24 @@ class CalibDataset:
             return lines
         with open(path) as fh:
             return [ln.strip() for ln in fh if ln.strip()]
+
+    @staticmethod
+    def _load_video_prompts(path: str) -> List[Dict]:
+        """t2v/i2v sources (reference base_dataset.py:49-85): a .txt of
+        one prompt per line, or a .jsonl of
+        {prompt, negative_prompt[, image]} records."""
+        out = []
+        if path.endswith('.jsonl') or (os.path.isfile(path)
+                                       and path.endswith('.json')):
+            with open(path) as fh:
+                for ln in fh:
+                    if ln.strip():
+                        out.append(json.loads(ln))
+        else:
+            with open(path) as fh:
+                out = [{'prompt': ln.strip(), 'negative_prompt': ''}
+                       for ln in fh if ln.strip()]
+        return out
 
     # --- assembly -------------------------------------------------------
     def get_calib_dataset(self, rank: int = 0, world_size: int = 1
@@ -154,6 +175,32 @@ class CalibDataset:
             return [{'pixel_values': rng.randn(1, chans, img_size,
                                                img_size).astype(np.float32)}
                     for _ in range(self.n_samples)], None
+        if self.name == 'synthetic_t2v':
+            # random UMT5-embedding surrogate batches for the Wan tier
+            # (encoder-free testing; shapes match condition_embed input)
+            rng = np.random.RandomState(self.seed + rank)
+            text_dim = int(self.cfg.get('text_dim', 32))
+            txt_len = int(self.cfg.get('txt_len', 8))
+            lat = self.cfg.get('latent_shape', (1, 4, 2, 8, 8))
+            img_dim = self.cfg.get('image_dim')
+            img_len = int(self.cfg.get('image_len', 5))
+            out = []
+            for i in range(self.n_samples):
+                b = {'text_embeds':
+                     rng.randn(1, txt_len, text_dim).astype(np.float32),
+                     'neg_embeds':
+                     rng.randn(1, txt_len, text_dim).astype(np.float32),
+                     'latent_shape': tuple(lat), 'seed': i}
+                if img_dim:
+                    b['image_embeds'] = rng.randn(
+                        1, img_len, int(img_dim)).astype(np.float32)
+                out.append(b)
+            return out, None
+        if self.name in ('t2v', 'i2v'):
+            data = list(self.calib_dataset)
+            if world_size > 1:
+                data = data[rank::world_size]
+            return [dict(s) for s in data[:self.n_samples]], None
         if self.name == 'synthetic':
             rng = np.random.RandomState(self.seed + rank)
             vocab = int(self.cfg.get('vocab_size', 32000))

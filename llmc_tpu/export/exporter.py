@@ -154,3 +154,65 @@ def export_real_quant(model, wspec: QuantSpec, quant_cfg: Dict,
     else:
         stamp_config(save_path, 'quantization_config',
                      awq_quant_config(quant_cfg))
+
+
+def export_lightx2v(model, wspec: QuantSpec, save_path: str) -> None:
+    """Wan video-model real-quant export (reference
+    utils/export_lightx2v.py:1-11 + Lightx2vRealQuantLinear,
+    module_utils.py:930-933): packs every block linear in the vLLM int
+    layout under the diffusers state-dict names and stamps
+    ``quant_method: advanced_ptq`` into config.json."""
+    import json
+
+    from safetensors.numpy import save_file
+    os.makedirs(save_path, exist_ok=True)
+    layout = model.get_layout()
+    flat: Dict[str, np.ndarray] = {}
+    # diffusers naming for our block pytree paths
+    rename = {'to_o': 'to_out.0', 'ffn.fc_in': 'ffn.net.0.proj',
+              'ffn.fc_out': 'ffn.net.2', 'add_k': 'add_k_proj',
+              'add_v': 'add_v_proj'}
+
+    def hf_name(path: str) -> str:
+        for ours, hf in rename.items():
+            if path.endswith(ours):
+                return path[: -len(ours)] + hf
+        return path
+
+    for i in range(model.n_blocks):
+        blk = model.blocks[i]
+        b = f'blocks.{i}'
+        for path in layout.linears:
+            lin = get_path(blk, path)
+            codes, scales, zeros = _real_quant_np(wspec, lin)
+            tensors = export_vllm_linear(codes, scales, zeros,
+                                         int(wspec.bit), need_pack=False)
+            prefix = f'{b}.{hf_name(path)}'
+            for suffix, arr in tensors.items():
+                flat[f'{prefix}.{suffix}'] = np.ascontiguousarray(arr)
+            if lin.get('b') is not None:
+                flat[f'{prefix}.bias'] = np.asarray(lin['b'])
+        flat[f'{b}.scale_shift_table'] = np.asarray(
+            blk['scale_shift_table'])[None]
+        for nrm in ('affine_norm1', 'affine_norm3', 'norm2'):
+            if blk.get(nrm) is not None:
+                flat[f'{b}.{nrm}.weight'] = np.asarray(blk[nrm]['w'])
+                if blk[nrm].get('b') is not None:
+                    flat[f'{b}.{nrm}.bias'] = np.asarray(blk[nrm]['b'])
+        for attn in ('attn1', 'attn2'):
+            a = blk[attn]
+            for nq in ('norm_q', 'norm_k', 'norm_added_k'):
+                if nq in a:
+                    flat[f'{b}.{attn}.{nq}.weight'] = np.asarray(
+                        a[nq]['w'])
+    save_file(flat, os.path.join(save_path, 'model.safetensors'))
+    cfg_path = os.path.join(save_path, 'config.json')
+    hf_cfg = dict(model.hf_config or {})
+    with open(cfg_path, 'w') as f:
+        json.dump(hf_cfg, f, indent=4)
+    # the reference's update_lightx2v_quant_config stamp
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    cfg['quant_method'] = 'advanced_ptq'
+    with open(cfg_path, 'w') as f:
+        json.dump(cfg, f, indent=4)

@@ -87,8 +87,23 @@ def run_pipeline(config: Dict) -> Dict:
     ev = config.get('eval')
     ev0 = (ev[0] if isinstance(ev, list) else ev) if ev else None
     eval_pos = list(ev0.get('eval_pos', [])) if ev0 else []
+    is_video = (config['model']['type'] in ('WanT2V', 'WanI2V')
+                or (ev0 or {}).get('type') == 'video_gen')
+    video_eval = None
+    if ev0 and is_video:
+        from .eval.video import VideoGenerateEval
+        vds = CalibDataset(dict(ev0, name=ev0.get('name',
+                                                  'synthetic_t2v')),
+                           model.tokenizer)
+        vsamples, _ = vds.get_calib_dataset()
+        video_eval = VideoGenerateEval(vsamples, ev0)
+        if 'pretrain' in eval_pos:
+            with TIMER.phase('eval_pretrain'):
+                results.update({f'video_pretrain_{k}': v for k, v in
+                                video_eval.eval(model, 'pretrain').items()
+                                if not isinstance(v, str)})
     ppl_eval = None
-    if ev0:
+    if ev0 and not is_video:
         ids = _eval_ids(config, model.tokenizer)
         if ids is not None:
             from .eval.ppl import PerplexityEval
@@ -156,7 +171,20 @@ def run_pipeline(config: Dict) -> Dict:
             model, qmap=qmap, kv_policy=getattr(blockwise_opt,
                                                 'kv_module', None))
 
+    if video_eval is not None and blockwise_opt is not None \
+            and 'fake_quant' in eval_pos:
+        qmap = blockwise_opt.deploy('fake_quant')
+        with TIMER.phase('eval_fake_quant'):
+            res = video_eval.eval(model, 'fake_quant', qmap=qmap)
+            results.update({f'video_fake_quant_{k}': v for k, v in
+                            res.items() if not isinstance(v, str)})
+
     save = config.get('save', {})
+    if save.get('save_lightx2v') and blockwise_opt is not None:
+        from .export.exporter import export_lightx2v
+        out = save.get('save_path', './save_lightx2v')
+        export_lightx2v(model, blockwise_opt.wspec, out)
+        results['saved_to'] = out
     if save.get('save_trans') or save.get('save_fake'):
         from .models.hf_loader import save_llama_params_to_hf
         out = save.get('save_path', './save')

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -1787,6 +1788,252 @@ class LlavaOneVisionAdapter(LlamaAdapter):
         return self._OV.onevision_forward(self.params, self.vl_cfg,
                                           input_ids, pixel_values,
                                           image_sizes, qmap=qmap)
+
+
+@MODEL_REGISTRY.register(name='WanT2V')
+class WanT2VAdapter(BaseAdapter):
+    """Wan 2.1 text-to-video DiT (reference llmc/models/wan_t2v.py).
+
+    The reference captures first-block inputs across ``sample_steps``
+    transformer invocations of the denoise loop via a step-counting
+    Catcher (wan_t2v.py:52-76).  Here the denoise loop is explicit:
+    a jitted prepare-program emits the block-0 input per call and a
+    jitted full forward steps the latents (flow-match Euler over the
+    shifted sigma schedule).  With CFG (guidance_scale > 1) each
+    scheduler step contributes two captures (cond + uncond), exactly
+    like the reference pipeline's two transformer calls."""
+
+    name = 'WanT2V'
+    modality = 'video_gen'
+
+    def __init__(self, cfg, params, tokenizer=None, hf_config=None,
+                 calib_cfg=None):
+        from . import wan as WN
+        self._WN = WN
+        super().__init__(cfg, params, tokenizer, hf_config)
+        cc = dict(calib_cfg or {})
+        self.sample_steps = int(cc.get('sample_steps', 4))
+        self.target_height = int(cc.get('target_height', 480))
+        self.target_width = int(cc.get('target_width', 832))
+        self.num_frames = int(cc.get('num_frames', 81))
+        self.guidance_scale = float(cc.get('guidance_scale', 5.0))
+        self.flow_shift = float(cc.get('flow_shift', 3.0))
+        self.num_inference_steps = int(cc.get('num_inference_steps', 50))
+        self._layout = WN.wan_layout(cfg)
+        self.model_path = None
+
+    # --- constructors ---------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16,
+                        calib_cfg=None):
+        from . import wan as WN
+        from .hf_loader import load_hf_config, load_hf_tensors
+        sub = os.path.join(path, 'transformer')
+        tdir = sub if os.path.isdir(sub) else path
+        hf = load_hf_config(tdir)
+        cfg = WN.WanConfig.from_hf(hf)
+        flat = load_hf_tensors(tdir, dtype=None)
+        self = cls(cfg, WN.params_from_hf(flat, cfg, dtype=dtype),
+                   None, hf, calib_cfg=calib_cfg)
+        self.model_path = path
+        return self
+
+    @classmethod
+    def from_config(cls, config):
+        from . import wan as WN
+        m = config['model']
+        cc = config.get('calib', {})
+        if m.get('path'):
+            return cls.from_pretrained(m['path'], calib_cfg=cc)
+        arch = dict(m.get('arch', {}))
+        cfg = WN.WanConfig(**arch) if arch else WN.WanConfig.tiny()
+        key = jax.random.PRNGKey(int(m.get('seed', 0)))
+        return cls(cfg, WN.random_params(key, cfg), calib_cfg=cc)
+
+    # --- engine protocol ------------------------------------------------
+    def set_modality(self, modality: str):
+        pass  # single-modality model; 'video_gen' and 'language' both ok
+
+    def get_layout(self):
+        return self._layout
+
+    def block_fn(self):
+        cfg, WN = self.cfg, self._WN
+
+        def fn(bp, x, kw, qmap=None, capture=False, kv_state=None,
+               kv_hook=None):
+            return WN.block_apply(bp, cfg, x, kw, qmap=qmap,
+                                  capture=capture)
+        return fn
+
+    def inspect_fns(self):
+        return self._WN.make_inspect_fns(self.cfg)
+
+    # --- denoise-loop capture -------------------------------------------
+    def _latent_shape(self, batch=None):
+        cfg = self.cfg
+        f = 1 + (self.num_frames - 1) // 4          # Wan VAE: temporal 4x
+        h = self.target_height // 8                 # spatial 8x
+        w = self.target_width // 8
+        if batch and 'latent_shape' in batch:
+            _, _, f, h, w = batch['latent_shape']
+        pt, ph, pw = cfg.patch_size
+        f, h, w = (f // pt) * pt or pt, (h // ph) * ph, (w // pw) * pw
+        return (1, cfg.in_channels, f, h, w)
+
+    def _embeds_of(self, batch):
+        """(ctx_pos, ctx_neg, image_embeds) from a calib/eval sample."""
+        if 'text_embeds' in batch:
+            pos = jnp.asarray(batch['text_embeds'])
+            neg = (jnp.asarray(batch['neg_embeds'])
+                   if batch.get('neg_embeds') is not None else None)
+        else:
+            pos = self._encode_prompt(batch['prompt'])
+            neg = self._encode_prompt(batch.get('negative_prompt', ''))
+        img = (jnp.asarray(batch['image_embeds'])
+               if batch.get('image_embeds') is not None else None)
+        return pos, neg, img
+
+    def _encode_prompt(self, prompt: str):
+        """UMT5 text encoding via the checkpoint's text_encoder subfolder
+        (torch CPU, calibration-time only — the reference's WanPipeline
+        does the same through diffusers)."""
+        enc = getattr(self, '_text_encoder', None)
+        if enc is None:
+            import torch
+            from transformers import AutoTokenizer, UMT5EncoderModel
+            tdir = os.path.join(self.model_path or '', 'text_encoder')
+            kdir = os.path.join(self.model_path or '', 'tokenizer')
+            enc = UMT5EncoderModel.from_pretrained(
+                tdir, torch_dtype=torch.float32)
+            tok = AutoTokenizer.from_pretrained(kdir)
+            self._text_encoder = enc = (enc, tok)
+        model, tok = enc
+        import torch
+        with torch.no_grad():
+            ids = tok([prompt], padding='max_length', max_length=226,
+                      truncation=True, return_tensors='pt')
+            out = model(ids.input_ids).last_hidden_state
+        return jnp.asarray(out.numpy())
+
+    def _jits(self):
+        if not hasattr(self, '_prep_jit'):
+            cfg, WN = self.cfg, self._WN
+
+            def prep(params, lat, t, ctx, img):
+                B, C, F_, H, W = lat.shape
+                pt, ph, pw = cfg.patch_size
+                cos, sin = WN.rope_3d(cfg, F_ // pt, H // ph, W // pw)
+                x = WN.patchify(params, cfg, lat)
+                _, t6, c, ci = WN.condition_embed(params, cfg, t, ctx, img)
+                return x, {'temb': t6,
+                           'rope': (jnp.asarray(cos), jnp.asarray(sin)),
+                           'ctx': c, 'ctx_img': ci}
+
+            def fwd(params, lat, t, ctx, img, qmap=None):
+                return WN.wan_forward(params, cfg, lat, t, ctx, img,
+                                      qmap=qmap)
+            self._prep_jit = jax.jit(prep, static_argnames=())
+            self._fwd_jit = jax.jit(fwd, static_argnames=('qmap',))
+        return self._prep_jit, self._fwd_jit
+
+    def collect_first_block_input(self, calib_batches):
+        WN = self._WN
+        prep, fwd = self._jits()
+        xs, kws = [], []
+        sigmas = WN.flow_sigmas(self.num_inference_steps, self.flow_shift)
+        for bi, batch in enumerate(calib_batches):
+            pos, neg, img = self._embeds_of(batch)
+            use_cfg = self.guidance_scale > 1.0 and neg is not None
+            key = jax.random.PRNGKey(int(batch.get('seed', bi)))
+            lat = jax.random.normal(key, self._latent_shape(batch),
+                                    jnp.float32)
+            count = 0
+            for i in range(len(sigmas) - 1):
+                t = jnp.full((lat.shape[0],), float(sigmas[i]) * 1000.0,
+                             jnp.float32)
+                ldt = lat.astype(self.cfg.jdtype)
+                for ctx in ([pos, neg] if use_cfg else [pos]):
+                    if count >= self.sample_steps:
+                        break
+                    x, kw = prep(self.params, ldt, t, ctx, img)
+                    xs.append(x)
+                    kws.append(kw)
+                    count += 1
+                if count >= self.sample_steps:
+                    break
+                v = fwd(self.params, ldt, t, pos, img)
+                if use_cfg:
+                    vn = fwd(self.params, ldt, t, neg, img)
+                    v = vn + self.guidance_scale * (v - vn)
+                lat = WN.euler_step(lat, v, float(sigmas[i]),
+                                    float(sigmas[i + 1]))
+        return xs, kws
+
+    def generate_latents(self, batch, qmap=None, steps=None, seed=0):
+        """Full denoise: returns final video latents [1, C, F, H, W]
+        (VideoGenerateEval decodes/saves them)."""
+        WN = self._WN
+        _, fwd = self._jits()
+        pos, neg, img = self._embeds_of(batch)
+        use_cfg = self.guidance_scale > 1.0 and neg is not None
+        sigmas = WN.flow_sigmas(steps or self.num_inference_steps,
+                                self.flow_shift)
+        lat = jax.random.normal(jax.random.PRNGKey(seed),
+                                self._latent_shape(batch), jnp.float32)
+        for i in range(len(sigmas) - 1):
+            t = jnp.full((lat.shape[0],), float(sigmas[i]) * 1000.0,
+                         jnp.float32)
+            ldt = lat.astype(self.cfg.jdtype)
+            v = fwd(self.params, ldt, t, pos, img, qmap=qmap)
+            if use_cfg:
+                vn = fwd(self.params, ldt, t, neg, img, qmap=qmap)
+                v = vn + self.guidance_scale * (v - vn)
+            lat = WN.euler_step(lat, v, float(sigmas[i]),
+                                float(sigmas[i + 1]))
+        return lat
+
+    def forward_logits(self, input_ids, qmap=None):
+        raise NotImplementedError('Wan is a video-diffusion model; use '
+                                  'generate_latents / VideoGenerateEval')
+
+
+@MODEL_REGISTRY.register(name='WanI2V')
+class WanI2VAdapter(WanT2VAdapter):
+    """Wan 2.1 image-to-video (reference llmc/models/wan_i2v.py):
+    the T2V graph plus a CLIP image branch — attn2 gains add_k/add_v
+    projections over 257 image-context tokens, and calib/eval samples
+    carry an 'image' (encoded via the checkpoint's image_encoder,
+    torch CPU) or precomputed 'image_embeds'."""
+
+    name = 'WanI2V'
+
+    def _embeds_of(self, batch):
+        pos, neg, img = super()._embeds_of(batch)
+        if img is None and batch.get('image') is not None:
+            img = self._encode_image(batch['image'])
+        return pos, neg, img
+
+    def _encode_image(self, image_path: str):
+        import torch
+        from transformers import CLIPImageProcessor, CLIPVisionModel
+        enc = getattr(self, '_image_encoder', None)
+        if enc is None:
+            idir = os.path.join(self.model_path or '', 'image_encoder')
+            pdir = os.path.join(self.model_path or '', 'image_processor')
+            model = CLIPVisionModel.from_pretrained(
+                idir, torch_dtype=torch.float32)
+            proc = CLIPImageProcessor.from_pretrained(
+                pdir if os.path.isdir(pdir) else idir)
+            self._image_encoder = enc = (model, proc)
+        model, proc = enc
+        from PIL import Image
+        img = Image.open(image_path).convert('RGB')
+        with torch.no_grad():
+            px = proc(images=img, return_tensors='pt').pixel_values
+            out = model(px, output_hidden_states=True)
+        # diffusers WanI2V uses penultimate hidden states (257 tokens)
+        return jnp.asarray(out.hidden_states[-2].numpy())
 
 
 def build_model(config) -> BaseAdapter:
