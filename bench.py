@@ -91,9 +91,16 @@ def main():
     # throughput-optimal serving batch: decode step time is nearly flat
     # in B up to the MXU's 128-row tile (weight streaming + MXU passes
     # amortize), so tokens/s scales ~linearly until KV-cache HBM pressure
-    B = int(os.environ.get('BENCH_BATCH', 4 if SMALL else 64))
+    # B=128 fills the 128-row MXU tile: the w4 linears cost the same per
+    # step as B=64 (VPU nibble-decode bound, profiled in
+    # tools/decode_profile.py), so doubling the batch is ~1.6x tokens/s;
+    # fp KV at max_len 160 just fits HBM with the donated cache
+    B = int(os.environ.get('BENCH_BATCH', 4 if SMALL else 128))
     prefill_len = 32
-    steps = int(os.environ.get('BENCH_STEPS', 8 if SMALL else 128))
+    # 64 decode steps: max_len 96 keeps the fp KV cache (6.4 GB), packed
+    # weights and program workspace inside the 15.75 GB HBM at B=128
+    # (96/128 steps compile-OOM by 0.5-3.5 GB)
+    steps = int(os.environ.get('BENCH_STEPS', 8 if SMALL else 64))
     max_len = prefill_len + steps
     kv_mode = os.environ.get('BENCH_KV', 'fp')
 

@@ -220,6 +220,88 @@ def pyramiddrop_rate(q: jax.Array, k: jax.Array, query_pos: int,
     return p[:, v0:v0 + v_num]
 
 
+def dycoke_ttm(feats: jax.Array, n_per_frame: int,
+               merging_ratio: float) -> jax.Array:
+    """DyCoke temporal token merging (dycoke.py:20-104, ``dycole_ttm``).
+
+    feats: [F*N, C] video-tower features (batch 1, F even).  Even pass:
+    each odd frame keeps its ``keep = int((1-merging_ratio)*N)`` tokens
+    LEAST cosine-similar to the previous frame; odd pass: every frame
+    i+2 for i in 0,4,8,.. (up to F-4) is additionally pruned against
+    frame i.  All keep-counts are static so the output shape is static.
+    """
+    FN, C = feats.shape
+    F_ = FN // n_per_frame
+    keep = int((1.0 - merging_ratio) * n_per_frame)
+    frames = feats.reshape(F_, n_per_frame, C)
+
+    def cos_sim(a, b):
+        af = a.astype(F32)
+        bf = b.astype(F32)
+        num = (af * bf).sum(-1)
+        return num / (jnp.linalg.norm(af, axis=-1)
+                      * jnp.linalg.norm(bf, axis=-1) + 1e-8)
+
+    def prune_against(tgt, ref):
+        sim = cos_sim(tgt, ref)
+        idx = jax.lax.top_k(-sim, keep)[1]
+        return tgt[idx]
+
+    kept = {}          # frame -> tokens (full or pruned)
+    for i in range(0, F_ - 1, 2):
+        kept[i] = frames[i]
+        kept[i + 1] = prune_against(frames[i + 1], frames[i])
+    if F_ % 2:
+        kept[F_ - 1] = frames[F_ - 1]
+    for i in range(0, F_ - 4, 4):
+        kept[i + 2] = prune_against(frames[i + 2], frames[i])
+    return jnp.concatenate([kept[i] for i in range(F_)], axis=0)
+
+
+def dart_keep_indices(hidden: jax.Array, keys: jax.Array, v0: int,
+                      v_num: int, pivot_image_token: int,
+                      pivot_text_token: int, reduction_ratio: float,
+                      max_num_trunction: int = 0) -> jax.Array:
+    """DART duplication-aware retention (dart.py:182-241,
+    ``get_retained_image_token``), batch 1.
+
+    hidden: [S, D] final-norm hidden states at the pruning block's
+    input; keys: [S, H*hd] flattened post-rope key states.  Pivots are
+    the top-L1-norm keys (image + text); each pivot then retains its
+    ``TOKEN_TOPK`` LEAST-similar still-valid image tokens.  Every pivot
+    draws from a disjoint remainder, so the retained count
+    ``pivot_image_token + P*TOKEN_TOPK`` is static.
+
+    Returns sorted ABSOLUTE indices of retained image tokens."""
+    S = hidden.shape[0]
+    P = pivot_image_token + pivot_text_token
+    budget = (max_num_trunction if max_num_trunction
+              else int(v_num * (1.0 - reduction_ratio)))
+    topk = max(budget // P, 1)
+    kf = keys.astype(F32)
+    img_l1 = jnp.abs(kf[v0:v0 + v_num]).sum(-1)
+    txt_l1 = jnp.abs(kf[v0 + v_num:]).sum(-1)
+    img_piv = jax.lax.top_k(img_l1, pivot_image_token)[1]        # rel
+    txt_piv = jax.lax.top_k(txt_l1, pivot_text_token)[1] + v0 + v_num
+    hf = hidden.astype(F32)
+    hn = hf / (jnp.linalg.norm(hf, axis=-1, keepdims=True) + 1e-8)
+    img_tokens = hn[v0:v0 + v_num]                               # [V, D]
+    valid = jnp.ones((v_num,), bool).at[img_piv].set(False)
+    keep = jnp.zeros((v_num,), bool).at[img_piv].set(True)
+    pivots_abs = jnp.concatenate([img_piv + v0, txt_piv])
+    for p in range(P):
+        pv = hn[pivots_abs[p]]                                   # [D]
+        sim = img_tokens @ pv                                    # [V]
+        # most-negative similarity among still-valid tokens
+        scored = jnp.where(valid, -sim, -jnp.inf)
+        idx = jax.lax.top_k(scored, topk)[1]
+        keep = keep.at[idx].set(True)
+        valid = valid.at[idx].set(False)
+    total = pivot_image_token + P * topk
+    rel = jnp.sort(jnp.where(keep, jnp.arange(v_num), v_num))[:total]
+    return rel + v0
+
+
 @dataclasses.dataclass
 class TokenReductionBase:
     """Registry shim mirroring TokenReduction(BlockwiseOpt)
@@ -233,7 +315,7 @@ class TokenReductionBase:
 # Only methods with an actual operator + wiring are registered; using an
 # unimplemented name must fail loudly at config time (VERDICT r1).
 for _name in ('FastV', 'ToMe', 'DivPrune', 'FasterVLM', 'SparseVLM',
-              'VisionZip', 'PyramidDrop'):
+              'VisionZip', 'PyramidDrop', 'DART', 'DyCoke'):
     TOKEN_REDUCTION_REGISTRY.register(
         (lambda n: lambda cfg, *a, **kw: TokenReductionBase(cfg, n))(
             _name), name=_name)

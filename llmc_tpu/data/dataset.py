@@ -46,7 +46,7 @@ class CalibDataset:
     def _build(self):
         if self.name in ('synthetic', 'synthetic_vlm', 'synthetic_img',
                          'synthetic_qwen2vl', 'synthetic_onevision',
-                         'synthetic_t2v'):
+                         'synthetic_t2v', 'synthetic_videollava'):
             return None  # generated directly in get_calib_dataset
         if self.name == 'custom_txt':
             return self._load_custom_txt(self.path)
@@ -175,6 +175,26 @@ class CalibDataset:
             return [{'pixel_values': rng.randn(1, chans, img_size,
                                                img_size).astype(np.float32)}
                     for _ in range(self.n_samples)], None
+        if self.name == 'synthetic_videollava':
+            # ids with a video-token span + random F-frame clips
+            rng = np.random.RandomState(self.seed + rank)
+            vocab = int(self.cfg.get('vocab_size', 64))
+            vid_tok = int(self.cfg.get('video_token', vocab))
+            frames = int(self.cfg.get('num_frames', 4))
+            per_frame = int(self.cfg.get('image_seq_length', 4))
+            img_size = int(self.cfg.get('image_size', 28))
+            chans = int(self.cfg.get('num_channels', 3))
+            span = frames * per_frame
+            out = []
+            for _ in range(self.n_samples):
+                ids = rng.randint(0, vocab, size=(1, self.seq_len))
+                ids = ids.astype(np.int32)
+                ids[0, 1:1 + span] = vid_tok
+                px = rng.randn(1, frames, chans, img_size,
+                               img_size).astype(np.float32)
+                out.append({'input_ids': ids,
+                            'pixel_values_videos': px})
+            return out, None
         if self.name == 'synthetic_t2v':
             # random UMT5-embedding surrogate batches for the Wan tier
             # (encoder-free testing; shapes match condition_embed input)

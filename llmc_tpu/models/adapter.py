@@ -1790,6 +1790,164 @@ class LlavaOneVisionAdapter(LlamaAdapter):
                                           image_sizes, qmap=qmap)
 
 
+@MODEL_REGISTRY.register(name='Qwen')
+class QwenAdapter(LlamaAdapter):
+    """Qwen (v1) — QWenLMHeadModel: the Llama graph under transformer.h
+    naming with a fused biased c_attn and the swapped-gate MLP
+    ``c_proj(w1(x) * silu(w2(x)))`` (w2 is the activated gate).
+    Reference: llmc/models/qwen.py.  The fused c_attn is split into
+    q/k/v at load; per-row (per_channel/per_group) quantization is
+    unchanged by the split — rows are preserved."""
+
+    name = 'Qwen'
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from .hf_loader import load_hf_config, load_hf_tensors
+        hf = load_hf_config(path)
+        heads = hf['num_attention_heads']
+        cfg = L.LlamaConfig(
+            vocab_size=hf['vocab_size'],
+            hidden_size=hf['hidden_size'],
+            # HF QWen intermediate_size counts w1+w2 (ff = half)
+            intermediate_size=hf['intermediate_size'] // 2,
+            num_hidden_layers=hf['num_hidden_layers'],
+            num_attention_heads=heads, num_key_value_heads=heads,
+            head_dim=hf['hidden_size'] // heads,
+            rms_norm_eps=hf.get('layer_norm_epsilon', 1e-6),
+            rope_theta=hf.get('rotary_emb_base', 10000.0),
+            max_position_embeddings=hf.get('seq_length', 8192),
+            attention_bias=True)
+        flat = load_hf_tensors(path, dtype=dtype)
+        out = {}
+        for name, t in flat.items():
+            n = name.replace('transformer.wte', 'model.embed_tokens')
+            n = n.replace('transformer.h.', 'model.layers.')
+            n = n.replace('.ln_1', '.input_layernorm')
+            n = n.replace('.ln_2', '.post_attention_layernorm')
+            n = n.replace('.attn.c_proj', '.self_attn.o_proj')
+            n = n.replace('.mlp.w2', '.mlp.gate_proj')
+            n = n.replace('.mlp.w1', '.mlp.up_proj')
+            n = n.replace('.mlp.c_proj', '.mlp.down_proj')
+            n = n.replace('transformer.ln_f', 'model.norm')
+            out[n] = t
+        D = cfg.hidden_size
+        for i in range(cfg.num_hidden_layers):
+            b = f'model.layers.{i}'
+            for suf in ('weight', 'bias'):
+                ca = out.pop(f'{b}.attn.c_attn.{suf}', None)
+                if ca is None:
+                    continue
+                q, k, v = np.split(np.asarray(ca), 3, axis=0)
+                out[f'{b}.self_attn.q_proj.{suf}'] = q
+                out[f'{b}.self_attn.k_proj.{suf}'] = k
+                out[f'{b}.self_attn.v_proj.{suf}'] = v
+        return _finish_from_flat(cls, cfg, out, path, hf)
+
+
+@MODEL_REGISTRY.register(name='LlavaHf')
+class LlavaHfAdapter(LlavaAdapter):
+    """LlavaHf (reference llmc/models/llava_hf.py): the HF-transformers
+    Llava wrapper.  Our Llava adapter already consumes the HF
+    LlavaForConditionalGeneration checkpoint layout (processor-side
+    differences only), so this is the same graph under the reference's
+    registry name."""
+
+    name = 'LlavaHf'
+
+
+@MODEL_REGISTRY.register(name='VideoLLaVA')
+@MODEL_REGISTRY.register(name='VideoLlava')
+class VideoLlavaAdapter(LlavaAdapter):
+    """Video-LLaVA (reference llmc/models/videollava.py): the Llava
+    graph with image + video towers sharing the CLIP architecture;
+    video clips contribute F frames of tower features spliced at
+    video_token_index.  Calib batches may carry ``pixel_values_videos``
+    [B, F, C, H, W]; DyCoke temporal token merging wires in through
+    ``token_reduction={'method': 'DyCoke', ...}``."""
+
+    name = 'VideoLlava'
+
+    @classmethod
+    def from_config(cls, config):
+        from . import llava as LV
+        m = config['model']
+        if m.get('path'):
+            self = cls.from_pretrained(m['path'])
+            hf = self.hf_config
+            self.llava_cfg = dataclasses.replace(
+                self.llava_cfg,
+                video_token_index=hf.get('video_token_index', 32001),
+                num_frames=hf.get('num_frames', 8))
+            return self
+        arch = dict(m.get('arch', {}))
+        varch = arch.pop('vision', {})
+        vcfg = LV.LlavaConfig.clip_block_cfg(
+            varch.get('hidden_size', 32),
+            varch.get('intermediate_size', 64),
+            varch.get('num_hidden_layers', 2),
+            varch.get('num_attention_heads', 2))
+        extra = {k: arch.pop(k) for k in
+                 ('image_size', 'patch_size', 'image_token_index',
+                  'video_token_index', 'num_frames') if k in arch}
+        extra.setdefault('video_token_index', 32001)
+        cfg = LV.LlavaConfig(text=L.LlamaConfig(**arch), vision=vcfg,
+                             **extra)
+        key = jax.random.PRNGKey(int(m.get('seed', 0)))
+        return cls(cfg, LV.init_params(cfg, key))
+
+    def collect_first_block_input(self, calib_batches):
+        LV, cfg = self._LV, self.llava_cfg
+        xs, kws = [], []
+        for batch in calib_batches:
+            ids = batch.get('input_ids')
+            if self._modality == 'vision':
+                px = batch.get('pixel_values_videos')
+                if px is not None:
+                    B, F_, C, H, W = px.shape
+                    px = jnp.asarray(px).reshape(B * F_, C, H, W)
+                else:
+                    px = jnp.asarray(batch['pixel_values'])
+                x = LV.clip_embed(self.params['vision'], cfg, px)
+                kw = {'attn_bias': jnp.zeros((1, 1, 1, 1), jnp.float32)}
+            else:
+                vids = batch.get('pixel_values_videos')
+                embeds = L.embed_apply(self.params, cfg.text,
+                                       jnp.asarray(ids))
+                if vids is not None:
+                    feats = LV.video_features(self.params['vision'], cfg,
+                                              jnp.asarray(vids))
+                    feats = LV.project_features(self.params['projector'],
+                                                cfg, feats)
+                    embeds = LV.merge_embeddings(
+                        embeds, feats, jnp.asarray(ids),
+                        cfg.video_token_index)
+                if batch.get('pixel_values') is not None:
+                    feats = LV.vision_features(
+                        self.params['vision'], cfg,
+                        jnp.asarray(batch['pixel_values']))
+                    feats = LV.project_features(self.params['projector'],
+                                                cfg, feats)
+                    embeds = LV.merge_embeddings(
+                        embeds, feats, jnp.asarray(ids),
+                        cfg.image_token_index)
+                x = embeds
+                S = ids.shape[1]
+                cos, sin = L.rope_cos_sin(cfg.text,
+                                          jnp.arange(S)[None, :])
+                kw = {'cos': cos, 'sin': sin}
+            xs.append(x)
+            kws.append(kw)
+        return xs, kws
+
+    def forward_logits(self, input_ids, qmap=None, pixel_values=None,
+                       pixel_values_videos=None, token_reduction=None):
+        return self._LV.videollava_forward(
+            self.params, self.llava_cfg, input_ids, pixel_values,
+            pixel_values_videos, qmap=qmap,
+            token_reduction=token_reduction)
+
+
 @MODEL_REGISTRY.register(name='WanT2V')
 class WanT2VAdapter(BaseAdapter):
     """Wan 2.1 text-to-video DiT (reference llmc/models/wan_t2v.py).

@@ -37,6 +37,10 @@ class LlavaConfig:
     vision_feature_layer: int = -2
     vision_feature_select_strategy: str = 'default'  # drop CLS
     projector_act: str = 'gelu'
+    # VideoLlava (reference llmc/models/videollava.py): a second tower
+    # input of F frames spliced at video_token_index
+    video_token_index: Optional[int] = None
+    num_frames: int = 8
 
     @property
     def num_patches(self) -> int:
@@ -165,6 +169,31 @@ def vision_features(vp: Dict, cfg: LlavaConfig, pixels: jax.Array,
     if cfg.vision_feature_select_strategy == 'default':
         x = x[:, 1:]
     return x
+
+
+def video_features(vp: Dict, cfg: LlavaConfig, pixels_videos: jax.Array,
+                   qmap=None, reduction: Optional[dict] = None
+                   ) -> jax.Array:
+    """Per-frame tower features of a video clip.
+
+    pixels_videos: [B, F, C, H, W] -> [B, F*N, D] (frames concatenated
+    in temporal order, VideoLlavaForConditionalGeneration semantics).
+    ``reduction={'method': 'DyCoke', 'merging_ratio': r}`` applies
+    DyCoke temporal token merging (dycoke.py:20-104) on the frame
+    features — batch 1, static output length."""
+    B, F_, C, H, W = pixels_videos.shape
+    feats = vision_features(vp, cfg, pixels_videos.reshape(B * F_, C,
+                                                           H, W),
+                            qmap=qmap)
+    N = feats.shape[1]
+    feats = feats.reshape(B, F_ * N, -1)
+    if reduction and reduction.get('method') == 'DyCoke':
+        from ..compression.token_reduction import dycoke_ttm
+        assert B == 1, 'DyCoke wiring supports batch 1 (reference too)'
+        feats = dycoke_ttm(feats[0], N,
+                           float(reduction.get('merging_ratio', 0.3))
+                           )[None]
+    return feats
 
 
 def project_features(pp: Dict, cfg: LlavaConfig,
@@ -318,6 +347,42 @@ def llava_forward(params: Dict, cfg: LlavaConfig, input_ids: jax.Array,
         sin = jnp.take_along_axis(
             jnp.broadcast_to(sin, (B,) + sin.shape[1:]), kept[..., None],
             axis=1)
+        for bp in blocks[pl:]:
+            x, _, _ = L.block_apply(bp, tc, x, cos, sin, qmap=qmap)
+        return L.head_apply(params, tc, x)
+
+    if method == 'DART' and pixel_values is not None:
+        from ..compression.token_reduction import dart_keep_indices
+        assert B == 1, 'DART wiring supports batch 1 (reference too)'
+        pl = int(token_reduction.get('pruning_loc', 2))
+        for bp in blocks[:pl - 1]:
+            x, _, _ = L.block_apply(bp, tc, x, cos, sin, qmap=qmap)
+        # key states of block pl-1 (the reference's get_any_states_hook
+        # on blocks[pruning_loc-1].self_attn, dart.py:60-100)
+        _, keys = _qk_postrope(blocks[pl - 1], tc, x, cos, sin)
+        x, _, _ = L.block_apply(blocks[pl - 1], tc, x, cos, sin,
+                                qmap=qmap)
+        # last_layer_state = final-norm of the block input (dart.py:110)
+        from .base import rms_norm
+        hidden = rms_norm(x, params['norm']['w'], tc.rms_norm_eps)[0]
+        v0 = int(jnp.argmax(input_ids[0] == cfg.image_token_index))
+        v_num = cfg.image_seq_length
+        retained = dart_keep_indices(
+            hidden, keys[0].reshape(S, -1), v0, v_num,
+            int(token_reduction.get('pivot_image_token', 4)),
+            int(token_reduction.get('pivot_text_token', 4)),
+            float(token_reduction.get('reduction_ratio', 0.778)),
+            int(token_reduction.get('max_num_trunction', 0)))
+        keep = jnp.sort(jnp.concatenate(
+            [jnp.arange(v0), retained, jnp.arange(v0 + v_num, S)]))
+        x = x[:, keep]
+        # positions keep their ORIGINAL rope phases (dart.py:132-146)
+        cos = jnp.take_along_axis(
+            jnp.broadcast_to(cos, (B,) + cos.shape[1:]),
+            keep[None, :, None], axis=1)
+        sin = jnp.take_along_axis(
+            jnp.broadcast_to(sin, (B,) + sin.shape[1:]),
+            keep[None, :, None], axis=1)
         for bp in blocks[pl:]:
             x, _, _ = L.block_apply(bp, tc, x, cos, sin, qmap=qmap)
         return L.head_apply(params, tc, x)
@@ -513,3 +578,53 @@ def params_from_hf(flat: Dict, cfg: LlavaConfig) -> Dict:
                      'b': norm.get('multi_modal_projector.linear_2.bias')},
     }
     return params
+
+
+# --------------------------------------------------------------------------
+# VideoLlava forward (reference llmc/models/videollava.py: the same Llava
+# graph with image + video towers; HF VideoLlavaForConditionalGeneration
+# splices F-frame tower features at video_token_index)
+# --------------------------------------------------------------------------
+
+def videollava_forward(params: Dict, cfg: LlavaConfig,
+                       input_ids: jax.Array,
+                       pixel_values: Optional[jax.Array] = None,
+                       pixel_values_videos: Optional[jax.Array] = None,
+                       qmap=None,
+                       token_reduction: Optional[dict] = None
+                       ) -> jax.Array:
+    """Forward with optional image and/or video inputs.  DyCoke
+    (video temporal merging) shrinks the video span and rewrites
+    input_ids like the VisionZip path does for images; other reduction
+    methods fall through to the Llava LM-side wiring."""
+    method = (token_reduction or {}).get('method')
+    tc = cfg.text
+    if pixel_values_videos is not None:
+        feats = video_features(params['vision'], cfg,
+                               pixel_values_videos, qmap=qmap,
+                               reduction=token_reduction
+                               if method == 'DyCoke' else None)
+        feats = project_features(params['projector'], cfg, feats)
+        vt = cfg.video_token_index
+        full_len = cfg.num_frames * cfg.image_seq_length
+        new_n = feats.shape[1]
+        if new_n != full_len:          # DyCoke shrank the span
+            v0 = int(jnp.argmax(input_ids[0] == vt))
+            input_ids = jnp.concatenate(
+                [input_ids[:, :v0 + new_n],
+                 input_ids[:, v0 + full_len:]], axis=1)
+        embeds = L.embed_apply(params, tc, input_ids)
+        x = merge_embeddings(embeds, feats, input_ids, vt)
+        if pixel_values is not None:
+            ifeats = vision_features(params['vision'], cfg, pixel_values,
+                                     qmap=qmap)
+            ifeats = project_features(params['projector'], cfg, ifeats)
+            x = merge_embeddings(x, ifeats, input_ids,
+                                 cfg.image_token_index)
+        S = input_ids.shape[1]
+        cos, sin = L.rope_cos_sin(tc, jnp.arange(S)[None, :])
+        for bp in params['blocks']:
+            x, _, _ = L.block_apply(bp, tc, x, cos, sin, qmap=qmap)
+        return L.head_apply(params, tc, x)
+    return llava_forward(params, cfg, input_ids, pixel_values,
+                         qmap=qmap, token_reduction=token_reduction)

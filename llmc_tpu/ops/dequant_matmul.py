@@ -219,6 +219,11 @@ def _round_up(x, m):
 
 @functools.lru_cache(maxsize=None)
 def _choose_w4_tiles(N: int, tm: int, gs: int, ng: int):
+    import os
+    force = os.environ.get('LLMC_W4_TILES')  # "tn,pairs" A/B knob
+    if force:
+        t, p = (int(v) for v in force.split(','))
+        return t, p
     """Adaptive (tn, pairs): per-grid-cell overhead (~2us) dominates with
     small tiles, so minimize grid cells subject to the Mosaic scoped-VMEM
     stack limit (16MB).  The model counts double-buffered in/out blocks,

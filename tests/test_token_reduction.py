@@ -56,11 +56,10 @@ def test_registry_has_methods():
     import llmc_tpu.compression.token_reduction  # noqa: F401
     from llmc_tpu.utils import TOKEN_REDUCTION_REGISTRY
     for name in ('FastV', 'ToMe', 'DivPrune', 'VisionZip', 'FasterVLM',
-                 'SparseVLM', 'PyramidDrop'):
+                 'SparseVLM', 'PyramidDrop', 'DART', 'DyCoke'):
         assert name in TOKEN_REDUCTION_REGISTRY
     # unimplemented names must NOT be silently registered (fail loudly)
-    for name in ('MustDrop', 'DART', 'DyCoke', 'PruneVid', 'FastVID',
-                 'HoliTom'):
+    for name in ('MustDrop', 'PruneVid', 'FastVID', 'HoliTom'):
         assert name not in TOKEN_REDUCTION_REGISTRY
 
 
