@@ -97,10 +97,10 @@ def main():
     # fp KV at max_len 160 just fits HBM with the donated cache
     B = int(os.environ.get('BENCH_BATCH', 4 if SMALL else 128))
     prefill_len = 32
-    # 64 decode steps: max_len 96 keeps the fp KV cache (6.4 GB), packed
-    # weights and program workspace inside the 15.75 GB HBM at B=128
-    # (96/128 steps compile-OOM by 0.5-3.5 GB)
-    steps = int(os.environ.get('BENCH_STEPS', 8 if SMALL else 64))
+    # 96 decode steps: max_len 128 -> fp KV 8.6 GB; with the prefill
+    # head projecting only the last position (last_only) the program
+    # peak stays inside the 15.75 GB HBM at B=128
+    steps = int(os.environ.get('BENCH_STEPS', 8 if SMALL else 96))
     max_len = prefill_len + steps
     kv_mode = os.environ.get('BENCH_KV', 'fp')
 
@@ -123,7 +123,8 @@ def main():
     @functools.partial(jax.jit, donate_argnums=(3,))
     def prefill(params, stacked, ids, cache):
         logits, cache = forward_cached(params, cfg, ids, cache, policy,
-                                       qmap, stacked_blocks=stacked)
+                                       qmap, stacked_blocks=stacked,
+                                       last_only=True)
         return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
 
     @functools.partial(jax.jit, donate_argnums=(3,))

@@ -44,9 +44,7 @@ class CalibDataset:
 
     # --- sources --------------------------------------------------------
     def _build(self):
-        if self.name in ('synthetic', 'synthetic_vlm', 'synthetic_img',
-                         'synthetic_qwen2vl', 'synthetic_onevision',
-                         'synthetic_t2v', 'synthetic_videollava'):
+        if self.name.startswith('synthetic'):
             return None  # generated directly in get_calib_dataset
         if self.name == 'custom_txt':
             return self._load_custom_txt(self.path)
@@ -175,6 +173,22 @@ class CalibDataset:
             return [{'pixel_values': rng.randn(1, chans, img_size,
                                                img_size).astype(np.float32)}
                     for _ in range(self.n_samples)], None
+        if self.name == 'synthetic_qwen2audio':
+            # ids with an audio-token span + random mel features
+            rng = np.random.RandomState(self.seed + rank)
+            vocab = int(self.cfg.get('vocab_size', 64))
+            aud_tok = int(self.cfg.get('audio_token', vocab))
+            mel = int(self.cfg.get('num_mel_bins', 16))
+            t_mel = int(self.cfg.get('mel_len', 32))
+            span = t_mel // 4
+            out = []
+            for _ in range(self.n_samples):
+                ids = rng.randint(0, vocab, size=(1, self.seq_len))
+                ids = ids.astype(np.int32)
+                ids[0, 1:1 + span] = aud_tok
+                feats = rng.randn(1, mel, t_mel).astype(np.float32)
+                out.append({'input_ids': ids, 'input_features': feats})
+            return out, None
         if self.name == 'synthetic_videollava':
             # ids with a video-token span + random F-frame clips
             rng = np.random.RandomState(self.seed + rank)

@@ -1948,6 +1948,162 @@ class VideoLlavaAdapter(LlavaAdapter):
             token_reduction=token_reduction)
 
 
+@MODEL_REGISTRY.register(name='Qwen2Audio')
+class Qwen2AudioAdapter(LlamaAdapter):
+    """Qwen2-Audio (reference llmc/models/qwen2audio.py): Whisper-style
+    audio tower + linear projector + Qwen2 LM.  The tower compresses
+    under the 'vision' modality key — the reference has no separate
+    audio modality (utils.py:84)."""
+
+    name = 'Qwen2Audio'
+
+    def __init__(self, cfg, params, tokenizer=None, hf_config=None):
+        from . import qwen2audio as QA
+        self._QA = QA
+        self.alm_cfg = cfg
+        BaseAdapter.__init__(self, cfg.text, params, tokenizer, hf_config)
+        self._modality = 'language'
+        self._layout = L.llama_layout(cfg.text)
+        self._alayout = L.llama_layout(cfg.audio)
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from . import qwen2audio as QA
+        from .hf_loader import load_hf_config, load_hf_tensors
+        hf = load_hf_config(path)
+        tcfg = L.LlamaConfig.from_hf(hf['text_config'])
+        a = hf['audio_config']
+        acfg = QA.Qwen2AudioConfig.whisper_block_cfg(
+            a['d_model'], a['encoder_ffn_dim'], a['encoder_layers'],
+            a['encoder_attention_heads'])
+        cfg = QA.Qwen2AudioConfig(
+            text=tcfg, audio=acfg,
+            num_mel_bins=a.get('num_mel_bins', 128),
+            max_source_positions=a.get('max_source_positions', 1500),
+            audio_token_index=hf.get('audio_token_index', 151646))
+        flat = load_hf_tensors(path, dtype=dtype)
+        lm_flat = {k.replace('language_model.', ''): v
+                   for k, v in flat.items()
+                   if k.startswith('language_model.')}
+        from .hf_loader import llama_params_from_hf
+        params = llama_params_from_hf(lm_flat, tcfg.num_hidden_layers,
+                                      tcfg.tie_word_embeddings)
+        params['audio'] = QA.audio_params_from_hf(flat, cfg, dtype)
+        tok = None
+        try:
+            from transformers import AutoTokenizer
+            tok = AutoTokenizer.from_pretrained(path)
+        except Exception:
+            pass
+        return cls(cfg, params, tok, hf)
+
+    @classmethod
+    def from_config(cls, config):
+        from . import qwen2audio as QA
+        m = config['model']
+        if m.get('path'):
+            return cls.from_pretrained(m['path'])
+        arch = dict(m.get('arch', {}))
+        aarch = arch.pop('audio', {})
+        extra = {k: arch.pop(k) for k in
+                 ('num_mel_bins', 'max_source_positions',
+                  'audio_token_index') if k in arch}
+        acfg = QA.Qwen2AudioConfig.whisper_block_cfg(
+            aarch.get('d_model', 32), aarch.get('encoder_ffn_dim', 64),
+            aarch.get('encoder_layers', 2),
+            aarch.get('encoder_attention_heads', 4))
+        cfg = QA.Qwen2AudioConfig(text=L.LlamaConfig(**arch),
+                                  audio=acfg, **extra)
+        key = jax.random.PRNGKey(int(m.get('seed', 0)))
+        from .llama import init_params
+        params = init_params(cfg.text, key)
+        params['audio'] = QA.init_audio_params(
+            cfg, jax.random.PRNGKey(int(m.get('seed', 0)) + 1))
+        return cls(cfg, params)
+
+    # --- modality dispatch ---------------------------------------------
+    def set_modality(self, modality: str):
+        assert modality in ('language', 'vision'), modality
+        self._modality = modality
+
+    @property
+    def blocks(self):
+        if self._modality == 'vision':
+            return self.params['audio']['blocks']
+        return self.params['blocks']
+
+    @property
+    def n_blocks(self):
+        return len(self.blocks)
+
+    def set_block(self, idx, new_block):
+        self.blocks[idx] = new_block
+
+    def update_block_path(self, idx, path, value):
+        self.blocks[idx] = set_path(self.blocks[idx], path, value)
+
+    def get_layout(self):
+        return (self._alayout if self._modality == 'vision'
+                else self._layout)
+
+    def block_fn(self):
+        if self._modality == 'vision':
+            ac = self.alm_cfg.audio
+
+            def afn(bp, x, kw, qmap=None, capture=False, kv_state=None,
+                    kv_hook=None):
+                return L.block_apply(bp, ac, x, None, None,
+                                     attn_bias=kw.get('attn_bias'),
+                                     qmap=qmap, capture=capture)
+            return afn
+        return super().block_fn()
+
+    def inspect_fns(self):
+        if self._modality == 'vision':
+            return L.make_inspect_fns(self.alm_cfg.audio)
+        return L.make_inspect_fns(self.cfg)
+
+    def collect_first_block_input(self, calib_batches):
+        QA, cfg = self._QA, self.alm_cfg
+        xs, kws = [], []
+        for batch in calib_batches:
+            mel = batch.get('input_features')
+            if self._modality == 'vision':
+                assert mel is not None
+                h = jax.nn.gelu(QA._conv1d(
+                    self.params['audio']['conv1'],
+                    jnp.asarray(mel, F32), 1))
+                h = jax.nn.gelu(QA._conv1d(
+                    self.params['audio']['conv2'], h, 2))
+                x = h.transpose(0, 2, 1)
+                T2 = x.shape[1]
+                x = (x + jnp.asarray(QA.sinusoids(
+                    cfg.max_source_positions,
+                    cfg.audio.hidden_size))[:T2]).astype(
+                    cfg.audio.jdtype)
+                kw = {'attn_bias': jnp.zeros((1, 1, 1, 1), jnp.float32)}
+            else:
+                ids = jnp.asarray(batch['input_ids'])
+                x = L.embed_apply(self.params, cfg.text, ids)
+                if mel is not None:
+                    feats = QA.audio_features(self.params['audio'], cfg,
+                                              jnp.asarray(mel))
+                    x = QA.merge_audio(x, feats, ids,
+                                       cfg.audio_token_index)
+                S = ids.shape[1]
+                cos, sin = L.rope_cos_sin(cfg.text,
+                                          jnp.arange(S)[None, :])
+                kw = {'cos': cos, 'sin': sin}
+            xs.append(x)
+            kws.append(kw)
+        return xs, kws
+
+    def forward_logits(self, input_ids, qmap=None, input_features=None):
+        return self._QA.qwen2audio_forward(self.params, self.alm_cfg,
+                                           input_ids, input_features,
+                                           qmap=qmap)
+
+
 @MODEL_REGISTRY.register(name='WanT2V')
 class WanT2VAdapter(BaseAdapter):
     """Wan 2.1 text-to-video DiT (reference llmc/models/wan_t2v.py).

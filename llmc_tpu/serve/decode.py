@@ -301,10 +301,12 @@ def blocks_homogeneous(blocks) -> bool:
 
 
 def forward_cached(params, cfg, ids, cache, policy, qmap=None,
-                   stacked_blocks=None):
+                   stacked_blocks=None, last_only: bool = False):
     """Run ``ids`` (S tokens) against the cache; returns (logits, cache)
     with cache['pos'] advanced.  Pass ``stacked_blocks``
-    (stack_block_params result) to use the scan-over-layers path."""
+    (stack_block_params result) to use the scan-over-layers path.
+    ``last_only`` projects just the final position through the lm_head
+    (prefill-for-decode: avoids the [B, S, vocab] f32 buffer)."""
     S = ids.shape[1]
     pos0 = cache['pos']
     if getattr(pos0, 'ndim', 0) == 1:    # per-slot positions [B]
@@ -330,6 +332,8 @@ def forward_cached(params, cfg, ids, cache, policy, qmap=None,
             x, cache = _block_cached(bp, cfg, x, cos, sin, cache, layer,
                                      policy, qmap)
     cache = dict(cache, pos=cache['pos'] + S)
+    if last_only:
+        x = x[:, -1:]
     return L.head_apply(params, cfg, x), cache
 
 
