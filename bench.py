@@ -110,10 +110,19 @@ def main():
     policy = (KVCachePolicy(method='naive', bit=8) if kv_mode == 'int8'
               else KVCachePolicy(method='fp'))
     params = model.params
-    stacked = stack_block_params(params['blocks'])
-    # free the unstacked copies: keep only the stacked weights on device
-    params = dict(params, blocks=[])
-    model.params['blocks'] = []
+    # BENCH_UNROLL=1: python-unrolled layer loop instead of the
+    # scan-over-stacked-layers path.  The inner scan CARRIES the whole
+    # KV cache, and XLA double-buffers nested-scan carries (~2x cache
+    # HBM); the unrolled loop updates the cache buffers in place, which
+    # is what allows max_len 128 at B=128.
+    unroll = os.environ.get('BENCH_UNROLL', '1') == '1'
+    if unroll:
+        stacked = None
+    else:
+        stacked = stack_block_params(params['blocks'])
+        # free the unstacked copies: keep only the stacked weights
+        params = dict(params, blocks=[])
+        model.params['blocks'] = []
     import gc
     gc.collect()
 

@@ -173,6 +173,18 @@ class CalibDataset:
             return [{'pixel_values': rng.randn(1, chans, img_size,
                                                img_size).astype(np.float32)}
                     for _ in range(self.n_samples)], None
+        if self.name == 'synthetic_mllama':
+            # ids + precomputed vision cross-attention states
+            rng = np.random.RandomState(self.seed + rank)
+            vocab = int(self.cfg.get('vocab_size', 64))
+            d = int(self.cfg.get('hidden_size', 32))
+            sk = int(self.cfg.get('cross_len', 8))
+            return [{'input_ids': rng.randint(
+                        0, vocab, size=(1, self.seq_len)).astype(
+                        np.int32),
+                     'cross_states': rng.randn(1, sk, d).astype(
+                        np.float32)}
+                    for _ in range(self.n_samples)], None
         if self.name == 'synthetic_qwen2audio':
             # ids with an audio-token span + random mel features
             rng = np.random.RandomState(self.seed + rank)

@@ -2104,6 +2104,336 @@ class Qwen2AudioAdapter(LlamaAdapter):
                                            qmap=qmap)
 
 
+@MODEL_REGISTRY.register(name='MiniCPMV')
+class MiniCPMVAdapter(LlamaAdapter):
+    """MiniCPM-V (reference llmc/models/minicpmv.py): SigLIP tower +
+    perceiver resampler + MiniCPM LM.  Mirrors the reference's scope:
+    only the LANGUAGE blocks compress (find_blocks asserts language,
+    minicpmv.py:99-101); the vision side feeds the multimodal
+    calibration forward."""
+
+    name = 'MiniCPMV'
+
+    def __init__(self, cfg, params, tokenizer=None, hf_config=None):
+        from . import minicpmv as MV
+        self._MV = MV
+        self.mv_cfg = cfg
+        BaseAdapter.__init__(self, cfg.text, params, tokenizer, hf_config)
+        self._layout = L.llama_layout(cfg.text)
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from . import minicpmv as MV
+        from .hf_loader import (llama_params_from_hf, load_hf_config,
+                                load_hf_tensors)
+        from .llava_onevision import LlavaOnevisionConfig
+        hf = load_hf_config(path)
+        tcfg = L.LlamaConfig.from_hf(hf)
+        v = hf.get('vision_config', {})
+        vcfg = LlavaOnevisionConfig.siglip_block_cfg(
+            v.get('hidden_size', 1152),
+            v.get('intermediate_size', 4304),
+            v.get('num_hidden_layers', 27),
+            v.get('num_attention_heads', 16))
+        cfg = MV.MiniCPMVConfig(
+            text=tcfg, vision=vcfg,
+            image_size=v.get('image_size', 448),
+            patch_size=v.get('patch_size', 14),
+            num_queries=hf.get('query_num', 64))
+        flat = load_hf_tensors(path, dtype=dtype)
+        lm_flat = {k.replace('llm.', ''): t for k, t in flat.items()
+                   if k.startswith('llm.')}
+        params = llama_params_from_hf(lm_flat, tcfg.num_hidden_layers,
+                                      tcfg.tie_word_embeddings)
+        params.update(MV.vision_params_from_hf(flat, cfg, dtype))
+        tok = None
+        try:
+            from transformers import AutoTokenizer
+            tok = AutoTokenizer.from_pretrained(path)
+        except Exception:
+            pass
+        return cls(cfg, params, tok, hf)
+
+    @classmethod
+    def from_config(cls, config):
+        from . import minicpmv as MV
+        from .llava_onevision import LlavaOnevisionConfig
+        m = config['model']
+        if m.get('path'):
+            return cls.from_pretrained(m['path'])
+        arch = dict(m.get('arch', {}))
+        varch = arch.pop('vision', {})
+        vcfg = LlavaOnevisionConfig.siglip_block_cfg(
+            varch.get('hidden_size', 32),
+            varch.get('intermediate_size', 64),
+            varch.get('num_hidden_layers', 2),
+            varch.get('num_attention_heads', 2))
+        extra = {k: arch.pop(k) for k in
+                 ('image_size', 'patch_size', 'num_queries',
+                  'image_token_index') if k in arch}
+        cfg = MV.MiniCPMVConfig(text=L.LlamaConfig(**arch), vision=vcfg,
+                                **extra)
+        key = jax.random.PRNGKey(int(m.get('seed', 0)))
+        from .llama import init_params
+        params = init_params(cfg.text, key)
+        params.update(MV.init_vision_params(
+            cfg, jax.random.PRNGKey(int(m.get('seed', 0)) + 1)))
+        return cls(cfg, params)
+
+    def set_modality(self, modality: str):
+        # the reference compresses only the LM (minicpmv.py:99-101)
+        assert modality == 'language', \
+            'MiniCPMV compresses the language model only (reference)'
+
+    def collect_first_block_input(self, calib_batches):
+        MV, cfg = self._MV, self.mv_cfg
+        xs, kws = [], []
+        for batch in calib_batches:
+            ids = jnp.asarray(batch['input_ids'])
+            x = L.embed_apply(self.params, cfg.text, ids)
+            px = batch.get('pixel_values')
+            if px is not None:
+                feats = MV.image_embeds(self.params, cfg,
+                                        jnp.asarray(px))
+                is_img = (ids == cfg.image_token_index)
+                kidx = jnp.clip(jnp.cumsum(is_img, axis=1) - 1, 0,
+                                feats.shape[1] - 1)
+                g = jnp.take_along_axis(feats, kidx[..., None], axis=1)
+                x = jnp.where(is_img[..., None], g.astype(x.dtype), x)
+            S = ids.shape[1]
+            cos, sin = L.rope_cos_sin(cfg.text, jnp.arange(S)[None, :])
+            xs.append(x)
+            kws.append({'cos': cos, 'sin': sin})
+        return xs, kws
+
+    def forward_logits(self, input_ids, qmap=None, pixel_values=None):
+        return self._MV.minicpmv_forward(self.params, self.mv_cfg,
+                                         input_ids, pixel_values,
+                                         qmap=qmap)
+
+
+@MODEL_REGISTRY.register(name='Vila')
+class VilaAdapter(LlamaAdapter):
+    """VILA (reference llmc/models/vila.py, 437 LoC): Llama LM + SigLIP
+    tower + mlp_downsample projector (2x2 spatial fold -> LayerNorm ->
+    Linear -> GELU -> Linear).  Like the reference, only the LANGUAGE
+    blocks compress (vila.py:155-163 asserts language); the vision side
+    feeds the multimodal calibration forward.  VILA checkpoints split
+    into llm/ vision_tower/ mm_projector/ subfolders."""
+
+    name = 'Vila'
+
+    def __init__(self, cfg, params, tokenizer=None, hf_config=None,
+                 vis_cfg=None, media_token: int = 0):
+        super().__init__(cfg, params, tokenizer, hf_config)
+        self.vis_cfg = vis_cfg
+        self.media_token = media_token
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from .hf_loader import (llama_params_from_hf, load_hf_config,
+                                load_hf_tensors)
+        from .llava_onevision import LlavaOnevisionConfig
+        llm_dir = os.path.join(path, 'llm')
+        hf = load_hf_config(llm_dir if os.path.isdir(llm_dir) else path)
+        tcfg = L.LlamaConfig.from_hf(hf)
+        flat = load_hf_tensors(llm_dir if os.path.isdir(llm_dir)
+                               else path, dtype=dtype)
+        flat = {k.replace('llm.', ''): v for k, v in flat.items()}
+        params = llama_params_from_hf(flat, tcfg.num_hidden_layers,
+                                      tcfg.tie_word_embeddings)
+        vis_cfg = None
+        vt_dir = os.path.join(path, 'vision_tower')
+        if os.path.isdir(vt_dir):
+            vhf = load_hf_config(vt_dir)
+            v = vhf.get('vision_config', vhf)
+            vis_cfg = LlavaOnevisionConfig.siglip_block_cfg(
+                v['hidden_size'], v['intermediate_size'],
+                v['num_hidden_layers'], v['num_attention_heads'])
+            vflat = load_hf_tensors(vt_dir, dtype=dtype)
+            from .minicpmv import vision_params_from_hf  # SigLIP naming
+            vflat = {'vpm.' + k.replace('vision_model.', ''): t
+                     for k, t in vflat.items()}
+
+            class _VC:
+                vision = vis_cfg
+            params['vision'] = vision_params_from_hf(
+                vflat, _VC, dtype)['vision']
+        pj_dir = os.path.join(path, 'mm_projector')
+        if os.path.isdir(pj_dir):
+            pflat = load_hf_tensors(pj_dir, dtype=dtype)
+
+            def pl(idx):
+                w = pflat.get(f'layers.{idx}.weight')
+                if w is None:
+                    return None
+                b = pflat.get(f'layers.{idx}.bias')
+                return {'w': jnp.asarray(w, dtype),
+                        'b': jnp.asarray(b, dtype)
+                        if b is not None else None}
+            # mlp_downsample: LayerNorm(4*vd) -> Linear -> GELU -> Linear
+            params['projector'] = {'ln': pl(0), 'fc1': pl(1),
+                                   'fc2': pl(3)}
+        tok = None
+        try:
+            from transformers import AutoTokenizer
+            tok = AutoTokenizer.from_pretrained(
+                llm_dir if os.path.isdir(llm_dir) else path)
+        except Exception:
+            pass
+        return cls(tcfg, params, tok, hf, vis_cfg=vis_cfg,
+                   media_token=hf.get('media_token_index', 0))
+
+    @classmethod
+    def from_config(cls, config):
+        m = config['model']
+        if m.get('path'):
+            return cls.from_pretrained(m['path'])
+        arch = dict(m.get('arch', {}))
+        arch.pop('vision', None)
+        media = arch.pop('media_token_index', 0)
+        return cls(L.LlamaConfig(**arch),
+                   L.init_params(L.LlamaConfig(**arch),
+                                 jax.random.PRNGKey(int(m.get('seed',
+                                                              0)))),
+                   media_token=media)
+
+    def set_modality(self, modality: str):
+        assert modality == 'language', \
+            'Vila compresses the language model only (vila.py:155-163)'
+
+    def _media_features(self, pixels):
+        """SigLIP features -> 2x2 spatial fold -> mlp_downsample
+        projector (VILA's mm_projector 'mlp_downsample')."""
+        from .base import layer_norm, linear_apply
+        from .llava_onevision import LlavaOnevisionConfig, siglip_embed
+        vc = self.vis_cfg
+        ov = LlavaOnevisionConfig(text=self.cfg, vision=vc,
+                                  image_size=pixels.shape[-1],
+                                  patch_size=14)
+        x = siglip_embed(self.params['vision'], ov, pixels)
+        no_mask = jnp.zeros((1, 1, 1, 1), jnp.float32)
+        for bp in self.params['vision']['blocks']:
+            x, _, _ = L.block_apply(bp, vc, x, None, None,
+                                    attn_bias=no_mask)
+        B, P, D = x.shape
+        g = int(P ** 0.5)
+        x = x.reshape(B, g // 2, 2, g // 2, 2, D).transpose(
+            0, 1, 3, 2, 4, 5).reshape(B, (g // 2) ** 2, 4 * D)
+        pj = self.params['projector']
+        x = layer_norm(x, pj['ln']['w'], pj['ln'].get('b'), 1e-5)
+        x = linear_apply(pj['fc1'], x)
+        x = jax.nn.gelu(x.astype(jnp.float32)).astype(x.dtype)
+        return linear_apply(pj['fc2'], x)
+
+    def collect_first_block_input(self, calib_batches):
+        xs, kws = [], []
+        for batch in calib_batches:
+            ids = jnp.asarray(batch['input_ids'])
+            x = L.embed_apply(self.params, self.cfg, ids)
+            px = batch.get('pixel_values')
+            if px is not None and 'vision' in self.params:
+                feats = self._media_features(jnp.asarray(px))
+                is_m = (ids == self.media_token)
+                kidx = jnp.clip(jnp.cumsum(is_m, axis=1) - 1, 0,
+                                feats.shape[1] - 1)
+                g = jnp.take_along_axis(feats, kidx[..., None], axis=1)
+                x = jnp.where(is_m[..., None], g.astype(x.dtype), x)
+            S = ids.shape[1]
+            cos, sin = L.rope_cos_sin(self.cfg, jnp.arange(S)[None, :])
+            xs.append(x)
+            kws.append({'cos': cos, 'sin': sin})
+        return xs, kws
+
+
+@MODEL_REGISTRY.register(name='Mllama')
+class MllamaAdapter(LlamaAdapter):
+    """Mllama / Llama-3.2-Vision language stack (reference
+    llmc/models/mllama.py): heterogeneous blocks — standard Llama
+    self-attention plus gated cross-attention layers reading vision
+    ``cross_attention_states``.  Language-only compression like the
+    reference; calib batches may carry precomputed 'cross_states'
+    ([B, Sk, D] vision features)."""
+
+    name = 'Mllama'
+
+    def __init__(self, cfg, params, tokenizer=None, hf_config=None):
+        from . import mllama as ML
+        self._ML = ML
+        self.ml_cfg = cfg
+        BaseAdapter.__init__(self, cfg.text, params, tokenizer, hf_config)
+        self._layout = ML.mllama_layout(cfg)
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
+        from . import mllama as ML
+        from .hf_loader import load_hf_config, load_hf_tensors
+        hf = load_hf_config(path)
+        t = hf['text_config']
+        tcfg = L.LlamaConfig.from_hf(t)
+        cfg = ML.MllamaConfig(
+            text=tcfg,
+            cross_attention_layers=tuple(t.get('cross_attention_layers',
+                                               ())))
+        flat = load_hf_tensors(path, dtype=dtype)
+        return cls(cfg, ML.params_from_hf(flat, cfg, dtype), None, hf)
+
+    @classmethod
+    def from_config(cls, config):
+        from . import mllama as ML
+        m = config['model']
+        if m.get('path'):
+            return cls.from_pretrained(m['path'])
+        arch = dict(m.get('arch', {}))
+        xl = tuple(arch.pop('cross_attention_layers', ()))
+        cfg = ML.MllamaConfig(text=L.LlamaConfig(**arch),
+                              cross_attention_layers=xl)
+        key = jax.random.PRNGKey(int(m.get('seed', 0)))
+        return cls(cfg, ML.init_params(cfg, key))
+
+    def set_modality(self, modality: str):
+        assert modality == 'language', \
+            'Mllama compresses the language model only (reference)'
+
+    def get_layout(self):
+        return self._layout
+
+    def block_fn(self):
+        ML, cfg = self._ML, self.ml_cfg
+
+        def fn(bp, x, kw, qmap=None, capture=False, kv_state=None,
+               kv_hook=None):
+            if 'cross_attn' in bp:
+                return ML.cross_block_apply(bp, cfg, x,
+                                            kw.get('cross'),
+                                            qmap=qmap, capture=capture)
+            return L.block_apply(bp, cfg.text, x, kw['cos'], kw['sin'],
+                                 qmap=qmap, capture=capture)
+        return fn
+
+    def inspect_fns(self):
+        return self._ML.make_inspect_fns(self.ml_cfg)
+
+    def collect_first_block_input(self, calib_batches):
+        xs, kws = [], []
+        for batch in calib_batches:
+            ids = jnp.asarray(batch['input_ids'])
+            x = L.embed_apply(self.params, self.cfg, ids)
+            S = ids.shape[1]
+            cos, sin = L.rope_cos_sin(self.cfg, jnp.arange(S)[None, :])
+            kw = {'cos': cos, 'sin': sin}
+            if batch.get('cross_states') is not None:
+                kw['cross'] = jnp.asarray(batch['cross_states'])
+            xs.append(x)
+            kws.append(kw)
+        return xs, kws
+
+    def forward_logits(self, input_ids, qmap=None, cross_states=None):
+        return self._ML.mllama_forward(self.params, self.ml_cfg,
+                                       input_ids, cross_states,
+                                       qmap=qmap)
+
+
 @MODEL_REGISTRY.register(name='WanT2V')
 class WanT2VAdapter(BaseAdapter):
     """Wan 2.1 text-to-video DiT (reference llmc/models/wan_t2v.py).
