@@ -115,7 +115,7 @@ def main():
     # KV cache, and XLA double-buffers nested-scan carries (~2x cache
     # HBM); the unrolled loop updates the cache buffers in place, which
     # is what allows max_len 128 at B=128.
-    unroll = os.environ.get('BENCH_UNROLL', '1') == '1'
+    unroll = os.environ.get('BENCH_UNROLL', '0') == '1'
     if unroll:
         stacked = None
     else:
@@ -133,7 +133,7 @@ def main():
     def prefill(params, stacked, ids, cache):
         logits, cache = forward_cached(params, cfg, ids, cache, policy,
                                        qmap, stacked_blocks=stacked,
-                                       last_only=True)
+                                       last_only=True, unroll=True)
         return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
 
     @functools.partial(jax.jit, donate_argnums=(3,))

@@ -2434,6 +2434,225 @@ class MllamaAdapter(LlamaAdapter):
                                        qmap=qmap)
 
 
+@MODEL_REGISTRY.register(name='GLM4V')
+@MODEL_REGISTRY.register(name='Glm4v')
+class Glm4vAdapter(GlmAdapter):
+    """GLM-4V (reference llmc/models/glm4v.py): the ChatGLM language
+    graph plus an EVA-CLIP vision tower with a 2x2 conv downsample and
+    a GLU projector (dense_h_to_4h / gate_proj / dense_4h_to_h).
+    Language-only compression like the reference (subsets inherited
+    from ChatGLM); the vision branch feeds image calibration batches
+    spliced at the boi..eoi placeholder span."""
+
+    name = 'Glm4v'
+
+    def __init__(self, cfg, params, tokenizer=None, hf_config=None,
+                 vis_cfg=None, image_token: int = 0):
+        super(GlmAdapter, self).__init__(cfg, params, tokenizer,
+                                         hf_config)
+        self.vis_cfg = vis_cfg
+        self.image_token = image_token
+
+    @classmethod
+    def from_config(cls, config):
+        from .llava import LlavaConfig
+        m = config['model']
+        arch = dict(m.get('arch', {}))
+        varch = arch.pop('vision', None)
+        image_token = arch.pop('image_token_index', 0)
+        arch.setdefault('rotary_pct', 0.5)
+        arch.setdefault('rope_interleaved', True)
+        arch.setdefault('attention_bias', True)
+        cfg = L.LlamaConfig(**arch)
+        key = jax.random.PRNGKey(int(m.get('seed', 0)))
+        params = L.init_params(cfg, key)
+        vis_cfg = None
+        if varch:
+            vis_cfg = LlavaConfig.clip_block_cfg(
+                varch.get('hidden_size', 32),
+                varch.get('intermediate_size', 64),
+                varch.get('num_hidden_layers', 2),
+                varch.get('num_attention_heads', 2))
+            params['vision'] = cls._init_vision(
+                cfg, vis_cfg, varch, jax.random.fold_in(key, 3))
+        self = cls(cfg, params, vis_cfg=vis_cfg, image_token=image_token)
+        self._glm_varch = varch
+        return self
+
+    @staticmethod
+    def _init_vision(tc, vc, varch, key):
+        import math as _m
+        ks = iter(jax.random.split(key, 24 + vc.num_hidden_layers * 12))
+        D, FF, DL = vc.hidden_size, vc.intermediate_size, tc.hidden_size
+        p = varch.get('patch_size', 14)
+        g = varch.get('image_size', 28) // p
+
+        def lin(i, o):
+            return {'w': jax.random.normal(next(ks), (o, i),
+                                           jnp.float32) / _m.sqrt(i),
+                    'b': jnp.zeros((o,), jnp.float32)}
+
+        def ln(d):
+            return {'w': jnp.ones((d,), jnp.float32),
+                    'b': jnp.zeros((d,), jnp.float32)}
+        blocks = []
+        for _ in range(vc.num_hidden_layers):
+            blocks.append({'input_layernorm': ln(D),
+                           'post_attention_layernorm': ln(D),
+                           'self_attn': {'q_proj': lin(D, D),
+                                         'k_proj': lin(D, D),
+                                         'v_proj': lin(D, D),
+                                         'o_proj': lin(D, D)},
+                           'mlp': {'up_proj': lin(D, FF),
+                                   'down_proj': lin(FF, D)}})
+        return {'patch_proj': {'w': jax.random.normal(
+                    next(ks), (D, 3, p, p), jnp.float32) * 0.1,
+                    'b': jnp.zeros((D,), jnp.float32)},
+                'class_emb': jax.random.normal(next(ks), (D,),
+                                               jnp.float32) * 0.02,
+                'pos_embed': jax.random.normal(
+                    next(ks), (g * g + 1, D), jnp.float32) * 0.02,
+                'pre_ln': ln(D),
+                'blocks': blocks,
+                # conv 2x2 stride-2 downsample + GLU projector
+                'conv': {'w': jax.random.normal(
+                    next(ks), (DL, D, 2, 2), jnp.float32) * 0.1,
+                    'b': jnp.zeros((DL,), jnp.float32)},
+                'proj_in': lin(DL, DL), 'proj_norm': ln(DL),
+                'h_to_4h': lin(DL, 2 * DL), 'gate': lin(DL, 2 * DL),
+                '4h_to_h': lin(2 * DL, DL),
+                'boi': jax.random.normal(next(ks), (DL,),
+                                         jnp.float32) * 0.02,
+                'eoi': jax.random.normal(next(ks), (DL,),
+                                         jnp.float32) * 0.02}
+
+    def _image_embeds(self, pixels):
+        """EVA tower -> drop CLS -> 2x2 conv downsample -> GLU
+        projector -> [boi | feats | eoi]."""
+        from .base import layer_norm, linear_apply
+        from .llava import LlavaConfig, clip_embed
+        vp = self.params['vision']
+        vc = self.vis_cfg
+        varch = getattr(self, '_glm_varch', {}) or {}
+        ov = LlavaConfig(text=self.cfg, vision=vc,
+                         image_size=varch.get('image_size', 28),
+                         patch_size=varch.get('patch_size', 14))
+        x = clip_embed(vp, ov, pixels)
+        no_mask = jnp.zeros((1, 1, 1, 1), jnp.float32)
+        for bp in vp['blocks']:
+            x, _, _ = L.block_apply(bp, vc, x, None, None,
+                                    attn_bias=no_mask)
+        x = x[:, 1:]                                     # drop CLS
+        B, P, D = x.shape
+        g = int(P ** 0.5)
+        # conv2d k2 s2 as fold+matmul
+        xg = x.reshape(B, g // 2, 2, g // 2, 2, D).transpose(
+            0, 1, 3, 5, 2, 4).reshape(B, (g // 2) ** 2, D * 4)
+        kern = vp['conv']['w'].reshape(vp['conv']['w'].shape[0], -1)
+        h = jnp.einsum('bpc,dc->bpd', xg.astype(jnp.float32),
+                       kern.astype(jnp.float32)) + vp['conv']['b']
+        h = linear_apply(vp['proj_in'], h)
+        h = layer_norm(h, vp['proj_norm']['w'], vp['proj_norm'].get('b'),
+                       1e-5)
+        h = jax.nn.gelu(h)
+        a = linear_apply(vp['h_to_4h'], h)
+        gt = jax.nn.silu(linear_apply(vp['gate'], h))
+        h = linear_apply(vp['4h_to_h'], a * gt)
+        boi = jnp.broadcast_to(vp['boi'][None, None], (B, 1, h.shape[-1]))
+        eoi = jnp.broadcast_to(vp['eoi'][None, None], (B, 1, h.shape[-1]))
+        return jnp.concatenate([boi, h, eoi], axis=1)
+
+    def set_modality(self, modality: str):
+        assert modality == 'language', \
+            'GLM4V compresses the language model only (glm4v.py)'
+
+    def collect_first_block_input(self, calib_batches):
+        xs, kws = [], []
+        for batch in calib_batches:
+            ids = jnp.asarray(batch['input_ids'])
+            x = L.embed_apply(self.params, self.cfg, ids)
+            px = batch.get('pixel_values')
+            if px is not None and 'vision' in self.params:
+                feats = self._image_embeds(jnp.asarray(px))
+                is_m = (ids == self.image_token)
+                kidx = jnp.clip(jnp.cumsum(is_m, axis=1) - 1, 0,
+                                feats.shape[1] - 1)
+                gth = jnp.take_along_axis(feats, kidx[..., None], axis=1)
+                x = jnp.where(is_m[..., None], gth.astype(x.dtype), x)
+            S = ids.shape[1]
+            cos, sin = L.rope_cos_sin(self.cfg, jnp.arange(S)[None, :])
+            xs.append(x)
+            kws.append({'cos': cos, 'sin': sin})
+        return xs, kws
+
+
+@MODEL_REGISTRY.register(name='InternOmni')
+class InternOmniAdapter(LlamaAdapter):
+    """InternOmni (reference llmc/models/internomni.py, 322 LoC):
+    InternVL2's vision side plus a Whisper audio encoder whose pooled
+    features go through an mlp2 projector; both modalities splice into
+    the InternLM2/Qwen2 LM.  We compose the existing InternViT tier
+    (internvl.py) with the Whisper tower (qwen2audio.py).  Language
+    blocks compress; audio calib batches carry 'input_features'."""
+
+    name = 'InternOmni'
+
+    def __init__(self, cfg, params, tokenizer=None, hf_config=None,
+                 audio_cfg=None, audio_token: int = 1):
+        super().__init__(cfg, params, tokenizer, hf_config)
+        self.audio_cfg = audio_cfg
+        self.audio_token = audio_token
+
+    @classmethod
+    def from_config(cls, config):
+        from . import qwen2audio as QA
+        m = config['model']
+        arch = dict(m.get('arch', {}))
+        aarch = arch.pop('audio', {})
+        audio_token = arch.pop('audio_token_index', 1)
+        cfg = L.LlamaConfig(**arch)
+        key = jax.random.PRNGKey(int(m.get('seed', 0)))
+        params = L.init_params(cfg, key)
+        audio_cfg = None
+        if aarch:
+            acfg_block = QA.Qwen2AudioConfig.whisper_block_cfg(
+                aarch.get('d_model', 32),
+                aarch.get('encoder_ffn_dim', 64),
+                aarch.get('encoder_layers', 2),
+                aarch.get('encoder_attention_heads', 4))
+            audio_cfg = QA.Qwen2AudioConfig(
+                text=cfg, audio=acfg_block,
+                num_mel_bins=aarch.get('num_mel_bins', 16),
+                max_source_positions=aarch.get('max_source_positions',
+                                               64))
+            params['audio'] = QA.init_audio_params(
+                audio_cfg, jax.random.fold_in(key, 5))
+        return cls(cfg, params, audio_cfg=audio_cfg,
+                   audio_token=audio_token)
+
+    def set_modality(self, modality: str):
+        assert modality == 'language', \
+            'InternOmni language-blocks compression (internomni.py)'
+
+    def collect_first_block_input(self, calib_batches):
+        from . import qwen2audio as QA
+        xs, kws = [], []
+        for batch in calib_batches:
+            ids = jnp.asarray(batch['input_ids'])
+            x = L.embed_apply(self.params, self.cfg, ids)
+            mel = batch.get('input_features')
+            if mel is not None and 'audio' in self.params:
+                feats = QA.audio_features(self.params['audio'],
+                                          self.audio_cfg,
+                                          jnp.asarray(mel))
+                x = QA.merge_audio(x, feats, ids, self.audio_token)
+            S = ids.shape[1]
+            cos, sin = L.rope_cos_sin(self.cfg, jnp.arange(S)[None, :])
+            xs.append(x)
+            kws.append({'cos': cos, 'sin': sin})
+        return xs, kws
+
+
 @MODEL_REGISTRY.register(name='WanT2V')
 class WanT2VAdapter(BaseAdapter):
     """Wan 2.1 text-to-video DiT (reference llmc/models/wan_t2v.py).

@@ -44,8 +44,12 @@ ATTN_IMPL = _os.environ.get('LLMC_ATTN', 'chunked')
 
 
 def _chunk_for(smax: int):
+    # require >= 2 chunks: a chunk equal to the full cache length turns
+    # the dynamic-slice read into a whole-buffer copy that XLA hoists as
+    # a cache-sized temp (observed: 4 GB copy(cache_k) per decode step
+    # at max_len 128 -> compile OOM at B=128)
     for c in _CHUNK_OPTS:
-        if smax % c == 0:
+        if smax % c == 0 and (c < smax or smax <= 32):
             return c
     return None
 
@@ -301,7 +305,8 @@ def blocks_homogeneous(blocks) -> bool:
 
 
 def forward_cached(params, cfg, ids, cache, policy, qmap=None,
-                   stacked_blocks=None, last_only: bool = False):
+                   stacked_blocks=None, last_only: bool = False,
+                   unroll: bool = False):
     """Run ``ids`` (S tokens) against the cache; returns (logits, cache)
     with cache['pos'] advanced.  Pass ``stacked_blocks``
     (stack_block_params result) to use the scan-over-layers path.
@@ -317,16 +322,27 @@ def forward_cached(params, cfg, ids, cache, policy, qmap=None,
     cos, sin = L.rope_cos_sin(cfg, positions)
     if stacked_blocks is not None:
         n_layers = jax.tree.leaves(stacked_blocks)[0].shape[0]
+        if unroll:
+            # static unroll over layers: the lax.scan below CARRIES the
+            # whole KV cache, and XLA double-buffers scan carries — at
+            # serving batch that is an extra cache-sized HBM buffer
+            # (prefill at B=128/max_len=128 compile-OOMs).  The unrolled
+            # loop updates cache buffers in place; weights come from
+            # static slices (views) of the stacked arrays.
+            for layer in range(n_layers):
+                bp = jax.tree.map(lambda a: a[layer], stacked_blocks)
+                x, cache = _block_cached(bp, cfg, x, cos, sin, cache,
+                                         layer, policy, qmap)
+        else:
+            def step(carry, inp):
+                x, cache = carry
+                bp, layer = inp
+                x, cache = _block_cached(bp, cfg, x, cos, sin, cache,
+                                         layer, policy, qmap)
+                return (x, cache), None
 
-        def step(carry, inp):
-            x, cache = carry
-            bp, layer = inp
-            x, cache = _block_cached(bp, cfg, x, cos, sin, cache, layer,
-                                     policy, qmap)
-            return (x, cache), None
-
-        (x, cache), _ = jax.lax.scan(
-            step, (x, cache), (stacked_blocks, jnp.arange(n_layers)))
+            (x, cache), _ = jax.lax.scan(
+                step, (x, cache), (stacked_blocks, jnp.arange(n_layers)))
     else:
         for layer, bp in enumerate(params['blocks']):
             x, cache = _block_cached(bp, cfg, x, cos, sin, cache, layer,
