@@ -142,6 +142,21 @@ def vision_features(vp: Dict, cfg: LlavaConfig, pixels: jax.Array,
         if cfg.vision_feature_layer < 0 else cfg.vision_feature_layer
     method = (reduction or {}).get('method')
     no_mask = jnp.zeros((1, 1, 1, 1), F32)
+    if method == 'MustDrop':
+        # spatial-merge stage hooked before vision block 1
+        # (mustdrop.py:188-200); eager-only (data-dependent r)
+        from ..compression.token_reduction import mustdrop_spatial_merge
+        x, _, _ = L.block_apply(vp['blocks'][0], vc, x, None, None,
+                                attn_bias=no_mask, qmap=qmap)
+        x = mustdrop_spatial_merge(
+            x, float(reduction.get('spatial_threshold', 0.9)),
+            tuple(reduction.get('window_size', (2, 2))))
+        for bp in vp['blocks'][1:upto]:
+            x, _, _ = L.block_apply(bp, vc, x, None, None,
+                                    attn_bias=no_mask, qmap=qmap)
+        if cfg.vision_feature_select_strategy == 'default':
+            x = x[:, 1:]
+        return x
     if method in ('FasterVLM', 'VisionZip'):
         from ..compression.token_reduction import (fastervlm_select,
                                                    visionzip_reduce)
@@ -193,6 +208,63 @@ def video_features(vp: Dict, cfg: LlavaConfig, pixels_videos: jax.Array,
         feats = dycoke_ttm(feats[0], N,
                            float(reduction.get('merging_ratio', 0.3))
                            )[None]
+    elif reduction and reduction.get('method') == 'PruneVid':
+        from ..compression.token_reduction import prunevid_merge
+        assert B == 1, 'PruneVid wiring supports batch 1 (reference too)'
+        feats = prunevid_merge(
+            feats[0].reshape(F_, N, -1),
+            float(reduction.get('taus', 0.8)),
+            float(reduction.get('cluster_ratios', 0.5)),
+            float(reduction.get('temporal_segment_ratios', 0.25)))[None]
+    elif reduction and reduction.get('method') == 'FastVID':
+        from ..compression.token_reduction import fastvid_prune
+        assert B == 1, 'FastVID wiring supports batch 1 (reference too)'
+        # per-frame saliency + global feature from the tower's select
+        # layer (the reference's SigLip vision-abstract head attention;
+        # here the CLS->patch attention of the CLIP tower)
+        x = clip_embed(vp, cfg, pixels_videos.reshape(B * F_, C, H, W))
+        vc = cfg.vision
+        nl = vc.num_hidden_layers
+        upto = cfg.vision_feature_layer % nl + 1 \
+            if cfg.vision_feature_layer < 0 else cfg.vision_feature_layer
+        no_mask = jnp.zeros((1, 1, 1, 1), F32)
+        for bp in vp['blocks'][:upto - 1]:
+            x, _, _ = L.block_apply(bp, vc, x, None, None,
+                                    attn_bias=no_mask)
+        x, probs, _ = _vision_block_with_probs(vp['blocks'][upto - 1],
+                                               vc, x)
+        frame_attn = probs[:, :, 0, 1:].mean(axis=1)         # [F, N]
+        frame_global = x[:, 0]                               # [F, C_v]
+        kw = {k[8:]: reduction[k] for k in
+              ('fastvid_DySeg_c', 'fastvid_DySeg_tau',
+               'fastvid_retention_ratio', 'fastvid_STPrune_d',
+               'fastvid_DTM_p', 'fastvid_DTM_alpha')
+              if k in reduction}
+        feats = fastvid_prune(feats[0].reshape(F_, N, -1),
+                              frame_attn, frame_global, **kw)
+    elif reduction and reduction.get('method') == 'HoliTom':
+        from ..compression.token_reduction import holitom_merge
+        assert B == 1, 'HoliTom wiring supports batch 1 (reference too)'
+        x = clip_embed(vp, cfg, pixels_videos.reshape(B * F_, C, H, W))
+        vc = cfg.vision
+        nl = vc.num_hidden_layers
+        upto = cfg.vision_feature_layer % nl + 1 \
+            if cfg.vision_feature_layer < 0 else cfg.vision_feature_layer
+        no_mask = jnp.zeros((1, 1, 1, 1), F32)
+        for bp in vp['blocks'][:upto - 1]:
+            x, _, _ = L.block_apply(bp, vc, x, None, None,
+                                    attn_bias=no_mask)
+        x, probs, _ = _vision_block_with_probs(vp['blocks'][upto - 1],
+                                               vc, x)
+        frame_attn = probs[:, :, 0, 1:].mean(axis=1)         # [F, N]
+        kw = {k[8:]: reduction[k] for k in
+              ('holitom_tau', 'holitom_max_window_size',
+               'holitom_retain_ratio', 'holitom_D', 'holitom_beta',
+               'holitom_K') if k in reduction}
+        if 'retain_ratio' in kw:
+            kw['retain_ratio'] = float(kw['retain_ratio'])
+        feats = holitom_merge(feats[0].reshape(F_, N, -1),
+                              frame_attn, **kw)
     return feats
 
 
@@ -305,7 +377,8 @@ def llava_forward(params: Dict, cfg: LlavaConfig, input_ids: jax.Array,
         'method', 'FastV' if token_reduction else None)
     blocks = params['blocks']
 
-    if method in ('FasterVLM', 'VisionZip') and pixel_values is not None:
+    if method in ('FasterVLM', 'VisionZip', 'MustDrop') \
+            and pixel_values is not None:
         feats = vision_features(params['vision'], cfg, pixel_values,
                                 qmap=qmap, reduction=token_reduction)
         feats = project_features(params['projector'], cfg, feats)
@@ -603,7 +676,9 @@ def videollava_forward(params: Dict, cfg: LlavaConfig,
         feats = video_features(params['vision'], cfg,
                                pixel_values_videos, qmap=qmap,
                                reduction=token_reduction
-                               if method == 'DyCoke' else None)
+                               if method in ('DyCoke', 'PruneVid',
+                                             'FastVID', 'HoliTom')
+                               else None)
         feats = project_features(params['projector'], cfg, feats)
         vt = cfg.video_token_index
         full_len = cfg.num_frames * cfg.image_seq_length

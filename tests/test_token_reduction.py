@@ -56,11 +56,11 @@ def test_registry_has_methods():
     import llmc_tpu.compression.token_reduction  # noqa: F401
     from llmc_tpu.utils import TOKEN_REDUCTION_REGISTRY
     for name in ('FastV', 'ToMe', 'DivPrune', 'VisionZip', 'FasterVLM',
-                 'SparseVLM', 'PyramidDrop', 'DART', 'DyCoke'):
+                 'SparseVLM', 'PyramidDrop', 'DART', 'DyCoke',
+                 'MustDrop', 'PruneVid', 'FastVID', 'HoliTom'):
         assert name in TOKEN_REDUCTION_REGISTRY
-    # unimplemented names must NOT be silently registered (fail loudly)
-    for name in ('MustDrop', 'PruneVid', 'FastVID', 'HoliTom'):
-        assert name not in TOKEN_REDUCTION_REGISTRY
+    # all 13 reference methods are now implemented
+    assert 'NoSuchMethod' not in TOKEN_REDUCTION_REGISTRY
 
 
 def test_fastervlm_select_by_cls_attention():
@@ -100,3 +100,135 @@ def test_dpc_cluster_merge_recovers_clusters():
     got = sorted(out.tolist(), key=lambda v: v[0])
     exp = sorted([c1.tolist(), c2.tolist()], key=lambda v: v[0])
     np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
+def test_mustdrop_spatial_merge():
+    import numpy as np
+    from llmc_tpu.compression.token_reduction import mustdrop_spatial_merge
+    rng = np.random.RandomState(0)
+    B, g, C = 1, 4, 8
+    x = jnp.asarray(rng.randn(B, 1 + g * g, C), jnp.float32)
+    # threshold -1: every window merges -> cls + 4 window means
+    out = mustdrop_spatial_merge(x, threshold=-1.0)
+    assert out.shape == (B, 1 + 4, C)
+    # threshold > 1: nothing merges
+    out2 = mustdrop_spatial_merge(x, threshold=1.5)
+    assert out2.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(x))
+    # window means are exact means of the window tokens
+    feat = np.asarray(x)[0, 1:].reshape(2, 2, 2, 2, C).transpose(
+        0, 2, 1, 3, 4).reshape(4, 4, C)
+    got = np.asarray(out)[0, 1:]
+    want = feat.mean(axis=1)
+    # merged windows ordered by similarity rank; compare as sets
+    for w in want:
+        assert np.min(np.abs(got - w[None]).sum(-1)) < 1e-4
+
+
+def test_mustdrop_wired_into_llava():
+    import numpy as np
+    from llmc_tpu.models.adapter import LlavaAdapter
+    cfg = {'model': {'type': 'Llava', 'arch': {
+        'vocab_size': 72, 'hidden_size': 32, 'intermediate_size': 64,
+        'num_hidden_layers': 2, 'num_attention_heads': 4,
+        'num_key_value_heads': 2, 'head_dim': 8, 'dtype': 'float32',
+        'image_size': 56, 'patch_size': 14, 'image_token_index': 70}}}
+    ad = LlavaAdapter.from_config(cfg)
+    c = ad.llava_cfg
+    rng = np.random.RandomState(1)
+    span = c.image_seq_length                       # 16
+    S = span + 6
+    ids = np.full((1, S), 3, np.int32)
+    ids[0, 1:1 + span] = 70
+    px = rng.randn(1, 3, 56, 56).astype(np.float32)
+    out = ad.forward_logits(
+        jnp.asarray(ids), None, pixel_values=jnp.asarray(px),
+        token_reduction={'method': 'MustDrop',
+                         'spatial_threshold': -1.0})
+    # every 2x2 window merges: 16 patches -> 4 merged
+    assert out.shape == (1, S - span + 4, 72)
+
+
+def test_prunevid_merge_static_and_dynamic():
+    import numpy as np
+    from llmc_tpu.compression.token_reduction import prunevid_merge
+    rng = np.random.RandomState(0)
+    F_, L, C = 4, 8, 16
+    base = rng.randn(1, L, C).astype(np.float32)
+    # identical frames: every token static -> one window, mean == base
+    frames = jnp.asarray(np.repeat(base, F_, axis=0))
+    out = prunevid_merge(frames, taus=0.5, cluster_ratio=0.5,
+                         temporal_ratio=0.25)
+    # all tokens static across identical frames: output is the (possibly
+    # dpc-merged) window mean set, no larger than L tokens
+    assert out.shape[0] <= L and out.shape[1] == C
+    # with L=8 <= min_spatial no dpc merge happens: exact window mean
+    np.testing.assert_allclose(np.asarray(out), base[0], atol=1e-5)
+
+
+def test_fastvid_prune_counts():
+    import numpy as np
+    from llmc_tpu.compression.token_reduction import fastvid_prune
+    rng = np.random.RandomState(1)
+    F_, N, C = 4, 16, 8
+    frames = jnp.asarray(rng.randn(F_, N, C), jnp.float32)
+    attn = jnp.asarray(rng.rand(F_, N), jnp.float32)
+    glob = jnp.asarray(rng.randn(F_, C), jnp.float32)
+    out = fastvid_prune(frames, attn, glob, DySeg_c=2, DySeg_tau=-1.0,
+                        retention_ratio=0.5, STPrune_d=0.5, DTM_p=2)
+    # retained tokens strictly fewer than F*N
+    assert out.shape[1] < F_ * N
+    assert out.shape[2] == C
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_holitom_merge_static_collapse():
+    import numpy as np
+    from llmc_tpu.compression.token_reduction import holitom_merge
+    rng = np.random.RandomState(2)
+    F_, N, C = 4, 16, 8
+    base = rng.randn(1, N, C).astype(np.float32)
+    frames = jnp.asarray(np.repeat(base, F_, axis=0))
+    attn = jnp.asarray(rng.rand(F_, N), jnp.float32)
+    out = holitom_merge(frames, attn, tau=0.5, retain_ratio=0.25)
+    # identical frames -> one static window, tokens collapse heavily
+    assert out.shape[1] <= N
+    assert out.shape[2] == C
+    rng_frames = jnp.asarray(rng.randn(F_, N, C), jnp.float32)
+    out2 = holitom_merge(rng_frames, attn, tau=0.99, retain_ratio=0.5)
+    # nothing static: per-frame attention-density reduction only
+    assert out2.shape[1] <= F_ * int(np.ceil(N * 0.5))
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_video_methods_wired_into_videollava():
+    import numpy as np
+    from llmc_tpu.models.adapter import VideoLlavaAdapter
+    cfg = {'model': {'type': 'VideoLlava', 'arch': {
+        'vocab_size': 72, 'hidden_size': 32, 'intermediate_size': 64,
+        'num_hidden_layers': 2, 'num_attention_heads': 4,
+        'num_key_value_heads': 2, 'head_dim': 8, 'dtype': 'float32',
+        'image_size': 28, 'patch_size': 14, 'image_token_index': 70,
+        'video_token_index': 71, 'num_frames': 4}}}
+    ad = VideoLlavaAdapter.from_config(cfg)
+    c = ad.llava_cfg
+    rng = np.random.RandomState(3)
+    span = c.num_frames * c.image_seq_length
+    S = span + 6
+    ids = np.full((1, S), 3, np.int32)
+    ids[0, 2:2 + span] = 71
+    # identical frames: temporal merging has maximal static content
+    one = rng.randn(1, 1, 3, 28, 28).astype(np.float32)
+    vids = np.repeat(one, 4, axis=1)
+    for method, kwargs in (
+            ('PruneVid', {'taus': 0.5, 'cluster_ratios': 0.5,
+                          'temporal_segment_ratios': 0.25}),
+            ('FastVID', {'fastvid_retention_ratio': 0.5,
+                         'fastvid_DySeg_c': 2}),
+            ('HoliTom', {'holitom_retain_ratio': 0.5})):
+        out = ad.forward_logits(
+            jnp.asarray(ids), None,
+            pixel_values_videos=jnp.asarray(vids),
+            token_reduction=dict({'method': method}, **kwargs))
+        assert out.shape[0] == 1 and out.shape[2] == 72
+        assert out.shape[1] < S, method   # sequence actually shrank
