@@ -4,13 +4,17 @@ Reference: /root/reference/llmc/compression/token_reduction/ (14 hook
 -based methods, 5555 LoC; base_blockwise_token_reduction.py:13-31 just
 installs forward hooks from TOKEN_REDUCTION_REGISTRY).
 
-Round-1 scope: the registry + the pruning operators for the main methods
-(FastV attention-rank pruning, ToMe bipartite soft matching, DivPrune
-diversity selection) as pure functions over token states.  Wiring into
-VLM adapters lands with the VLM model tier (round 2); the operators are
-unit-tested standalone.  All selection is static-k (jit-friendly top-k /
-gather), matching prefill-only semantics (token_reduction/utils.py
-prefill_wrapper).
+All 13 reference methods are implemented as pure operators over token
+states and wired into the Llava-family prefill paths (models/llava.py).
+Static-k selection (jit-friendly top-k / gather) where sizes permit,
+matching prefill-only semantics (token_reduction/utils.py
+prefill_wrapper); data-dependent-size methods run eagerly like the
+reference's hooks.  The ``TokenReduction`` ALGO class makes the
+reference's config shape work end-to-end:
+
+    sparse:
+      method: TokenReduction
+      special: {method: FastV, prune_layer: 2, keep: 8}
 """
 
 from __future__ import annotations
@@ -647,3 +651,48 @@ for _name in ('FastV', 'ToMe', 'DivPrune', 'FasterVLM', 'SparseVLM',
     TOKEN_REDUCTION_REGISTRY.register(
         (lambda n: lambda cfg, *a, **kw: TokenReductionBase(cfg, n))(
             _name), name=_name)
+
+
+from ..utils.registry import ALGO_REGISTRY  # noqa: E402
+from .blockwise import BlockwiseOpt  # noqa: E402
+
+
+@ALGO_REGISTRY.register(name='TokenReduction')
+class TokenReduction(BlockwiseOpt):
+    """Config-driven token reduction, the reference's ``sparse:
+    {method: TokenReduction, special: {method: ...}}`` shape
+    (base_blockwise_token_reduction.py:13-31 installs forward hooks;
+    here the reduction config is installed on the model and the VLM
+    adapters apply the operator during prefill).  No blockwise pass
+    and no calibration data are needed."""
+
+    wspec = None
+
+    def __init__(self, model, sparsity_config, inputs, padding_mask,
+                 config):
+        super().__init__(model, sparsity_config, inputs, padding_mask,
+                         config)
+        self.sparsity_config = sparsity_config
+        special = dict(sparsity_config.get('special', {}) or {})
+        name = special.get('method')
+        if name not in TOKEN_REDUCTION_REGISTRY:
+            raise KeyError(
+                f'{name!r} is not an implemented token-reduction method; '
+                f'available: {sorted(TOKEN_REDUCTION_REGISTRY.keys())}')
+        self.reduction = TOKEN_REDUCTION_REGISTRY[name](special)
+        # adapters read this as the default ``token_reduction`` kwarg
+        model.token_reduction = special
+
+    @staticmethod
+    def check_special(special):
+        name = (special or {}).get('method')
+        if name not in TOKEN_REDUCTION_REGISTRY:
+            raise KeyError(
+                f'token_reduction special.method {name!r} unknown; '
+                f'available: {sorted(TOKEN_REDUCTION_REGISTRY.keys())}')
+
+    def run_block_loop(self):  # hook-style method: nothing blockwise
+        pass
+
+    def deploy(self, deploy_format):
+        return None

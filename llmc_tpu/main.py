@@ -47,6 +47,31 @@ def _eval_ids(config, tokenizer) -> Optional[np.ndarray]:
     return np.asarray(tokenizer(text)['input_ids'], np.int32)
 
 
+def _vqa_samples(model, batches, ans_len: int):
+    """Build native-VQA samples: each calib batch becomes one
+    (prompt, image kwargs, answer) sample whose answer is the PRETRAIN
+    model's greedy continuation — eval_vqa's lmms-eval scoring reduces
+    to exactly this generate-and-match mechanics (eval_vqa.py:18-302)."""
+    import jax.numpy as jnp
+    samples = []
+    for b in batches:
+        img_kwargs = {k: v for k, v in b.items()
+                      if k not in ('input_ids', 'attention_mask')}
+        cur = jnp.asarray(np.asarray(b['input_ids'], np.int32))[:1]
+        jk = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+              for k, v in img_kwargs.items()}
+        ans = []
+        for _ in range(ans_len):
+            logits = model.forward_logits(cur, **jk)
+            nxt = int(np.asarray(jnp.argmax(logits[0, -1])))
+            ans.append(nxt)
+            cur = jnp.concatenate(
+                [cur, jnp.asarray([[nxt]], cur.dtype)], axis=1)
+        samples.append(dict({'input_ids': np.asarray(
+            b['input_ids'], np.int32)[0], 'answer_ids': ans}, **img_kwargs))
+    return samples
+
+
 def _apply_platform_env():
     """LLMC_PLATFORM=cpu / LLMC_HOST_DEVICES=8: force the JAX platform
     IN-PROCESS.  The axon environment pre-imports jax via sitecustomize
@@ -102,8 +127,9 @@ def run_pipeline(config: Dict) -> Dict:
                 results.update({f'video_pretrain_{k}': v for k, v in
                                 video_eval.eval(model, 'pretrain').items()
                                 if not isinstance(v, str)})
+    is_vqa = bool(ev0) and ev0.get('type') == 'vqa'
     ppl_eval = None
-    if ev0 and not is_video:
+    if ev0 and not is_video and not is_vqa:
         ids = _eval_ids(config, model.tokenizer)
         if ids is not None:
             from .eval.ppl import PerplexityEval
@@ -114,12 +140,32 @@ def run_pipeline(config: Dict) -> Dict:
         with TIMER.phase('eval_pretrain'):
             results['ppl_pretrain'] = ppl_eval.eval(model)
 
+    # VQA eval (reference eval_vqa.py via lmms-eval; here the native
+    # evaluator): answers are the PRETRAIN model's greedy continuations,
+    # so pretrain accuracy is 1.0 by construction and the transformed /
+    # fake_quant positions measure answer consistency under compression
+    # (the VLM analog of TokenConsistencyEval).
+    vqa_eval = None
+    if is_vqa and not is_video:
+        from .eval.vqa import VQAEval
+        vds = CalibDataset(dict(ev0, name=ev0.get('name', 'synthetic_vlm')),
+                           model.tokenizer)
+        vbatches, _ = vds.get_calib_dataset()
+        ans_len = int(ev0.get('answer_tokens', 4))
+        with TIMER.phase('eval_pretrain'):
+            samples = _vqa_samples(model, vbatches, ans_len)
+            vqa_eval = VQAEval(samples, max_new_tokens=ans_len)
+            if 'pretrain' in eval_pos:
+                results['vqa_pretrain_acc'] = vqa_eval.eval(
+                    model)['accuracy']
+
     blockwise_opt = None
     for modality, mcfg in get_modality(config):
         if hasattr(model, 'set_modality'):
             model.set_modality(modality)
         calib_cfg = config.get('calib')
-        if calib_cfg and mcfg.get('method') != 'Dense':
+        if calib_cfg and mcfg.get('method') not in ('Dense',
+                                                    'TokenReduction'):
             dataset = CalibDataset(calib_cfg, model.tokenizer)
             batches, padding_mask = dataset.get_calib_dataset()
             jb = [dict(b, **({'input_ids': jnp.asarray(b['input_ids'])}
@@ -149,6 +195,15 @@ def run_pipeline(config: Dict) -> Dict:
     if ppl_eval and 'transformed' in eval_pos:
         with TIMER.phase('eval_transformed'):
             results['ppl_transformed'] = ppl_eval.eval(model)
+    if vqa_eval is not None and 'transformed' in eval_pos:
+        with TIMER.phase('eval_transformed'):
+            results['vqa_transformed_acc'] = vqa_eval.eval(
+                model)['accuracy']
+    if vqa_eval is not None and blockwise_opt is not None \
+            and 'fake_quant' in eval_pos:
+        with TIMER.phase('eval_fake_quant'):
+            results['vqa_fake_quant_acc'] = vqa_eval.eval(
+                model, qmap=blockwise_opt.deploy('fake_quant'))['accuracy']
     if blockwise_opt is not None and ppl_eval and 'fake_quant' in eval_pos:
         qmap = blockwise_opt.deploy('fake_quant')
         with TIMER.phase('eval_fake_quant'):

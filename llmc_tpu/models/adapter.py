@@ -1304,6 +1304,9 @@ class LlavaAdapter(LlamaAdapter):
 
     def forward_logits(self, input_ids, qmap=None, pixel_values=None,
                        token_reduction=None):
+        if token_reduction is None and pixel_values is not None:
+            # installed by the TokenReduction ALGO (sparse: config)
+            token_reduction = getattr(self, 'token_reduction', None)
         return self._LV.llava_forward(self.params, self.llava_cfg,
                                       input_ids, pixel_values, qmap=qmap,
                                       token_reduction=token_reduction)
@@ -1942,6 +1945,10 @@ class VideoLlavaAdapter(LlavaAdapter):
 
     def forward_logits(self, input_ids, qmap=None, pixel_values=None,
                        pixel_values_videos=None, token_reduction=None):
+        if token_reduction is None and (pixel_values is not None
+                                        or pixel_values_videos is not None):
+            # installed by the TokenReduction ALGO (sparse: config)
+            token_reduction = getattr(self, 'token_reduction', None)
         return self._LV.videollava_forward(
             self.params, self.llava_cfg, input_ids, pixel_values,
             pixel_values_videos, qmap=qmap,

@@ -206,3 +206,43 @@ def test_mixed_precision_ignore_end_to_end():
     # every layer of every block ignored -> fake_quant must equal pretrain
     assert res['ppl_fake_quant'] == pytest.approx(res['ppl_pretrain'],
                                                   rel=1e-6)
+
+
+def test_token_reduction_config_pipeline():
+    """Reference config shape `sparse: {method: TokenReduction}` +
+    `eval: {type: vqa}` runs end-to-end (main.py), installs the
+    reduction on the model, and the reduction actually shortens the
+    VLM forward (token_reduction/base_blockwise_token_reduction.py)."""
+    import jax.numpy as jnp
+    from llmc_tpu.main import run_pipeline
+    from llmc_tpu.utils import load_config
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(
+        repo, 'configs/ci/token_reduction_fastv_vqa.yml'))
+    res = run_pipeline(cfg)
+    assert res['vqa_pretrain_acc'] == 1.0     # answers by construction
+    assert 'vqa_transformed_acc' in res
+    model = res['model']
+    assert model.token_reduction == {'method': 'FastV',
+                                     'prune_layer': 1, 'keep': 2}
+    # the installed reduction is applied by default when pixels are given
+    rng = np.random.RandomState(0)
+    span = model.llava_cfg.image_seq_length
+    S = span + 5
+    ids = np.full((1, S), 3, np.int32)
+    ids[0, 1:1 + span] = model.llava_cfg.image_token_index
+    px = jnp.asarray(rng.randn(1, 3, 28, 28).astype(np.float32))
+    out = model.forward_logits(jnp.asarray(ids), None, pixel_values=px)
+    assert out.shape[1] == S - (span - 2)     # FastV keep=2 of the span
+    # language-only forward is untouched
+    out2 = model.forward_logits(jnp.asarray(ids[:, :4]), None)
+    assert out2.shape[1] == 4
+
+
+def test_token_reduction_unknown_method_fails_loudly():
+    from llmc_tpu.utils import ALGO_REGISTRY
+    import llmc_tpu.compression  # noqa: F401
+    with pytest.raises(KeyError):
+        ALGO_REGISTRY['TokenReduction'].check_special(
+            {'method': 'NoSuchMethod'})
