@@ -225,6 +225,12 @@ def run_pipeline(config: Dict) -> Dict:
         results['decode_ppl_fake_quant'] = dpe.eval(
             model, qmap=qmap, kv_policy=getattr(blockwise_opt,
                                                 'kv_module', None))
+        if 'fake_quant_wo_kv' in eval_pos:
+            # reference eval position fake_quant_wo_kv (eval/utils.py:
+            # 83-86): fake-quant weights/acts but an FP KV cache —
+            # isolates the KV quantizer's contribution to decode PPL
+            results['decode_ppl_fake_quant_wo_kv'] = dpe.eval(
+                model, qmap=qmap, kv_policy=None)
 
     if video_eval is not None and blockwise_opt is not None \
             and 'fake_quant' in eval_pos:
@@ -268,6 +274,26 @@ def run_pipeline(config: Dict) -> Dict:
                       pp_size=int(save.get('pp_size', 1)),
                       quant_algo={4: 'W4A16', 8: 'W8A16'}.get(bits))
         results['saved_to'] = out
+    # OpenCompass external-process eval on the saved transformed ckpt
+    # (reference __main__.py:164-176 shells out the same way; gated on
+    # the binary being installed)
+    if 'opencompass' in config:
+        oc = config['opencompass']
+        if not save.get('save_trans'):
+            raise ValueError('opencompass eval requires save.save_trans')
+        import shutil
+        import subprocess
+        cmd = [shutil.which('opencompass') or 'opencompass',
+               oc['cfg_path'], '-w', oc['output_path'],
+               '--llmc_eval_mode', 'quant',
+               '--llmc_model_path',
+               os.path.abspath(save.get('save_path', './save'))]
+        if shutil.which('opencompass') is None:
+            raise RuntimeError(
+                'opencompass is not installed; install it and re-run: '
+                + ' '.join(cmd))
+        results['opencompass_rc'] = subprocess.call(cmd)
+
     results['wall_s'] = time.time() - t0
     results['phase_times'] = TIMER.as_dict()
     results['model'] = model

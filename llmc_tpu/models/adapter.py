@@ -606,6 +606,13 @@ class OptAdapter(BaseAdapter):
             x, _, _ = self.block_fn()(bp, x, kw, qmap=qmap)
         return self.head_fn()(self.params, x)
 
+    def as_generalized(self) -> 'LlamaAdapter':
+        """View this OPT model through the generalized Llama graph so the
+        cached-decode / serving-engine / TP paths apply (opt.py
+        to_generalized)."""
+        lcfg, gp = self._O.to_generalized(self.cfg, self.params)
+        return LlamaAdapter(lcfg, gp, self.tokenizer, self.hf_config)
+
     def has_bias(self):
         return True
 

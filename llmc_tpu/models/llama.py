@@ -73,6 +73,7 @@ class LlamaConfig:
     use_alibi: bool = False             # Bloom-style positional bias
     alibi_scaled: bool = False          # Falcon: alibi also * 1/sqrt(hd)
     learned_pos: bool = False           # learned absolute pos embeddings
+    learned_pos_offset: int = 0         # OPT: positions indexed at +2
 
     @property
     def jdtype(self):
@@ -369,7 +370,8 @@ def embed_apply(params: Dict, cfg: LlamaConfig, input_ids: jax.Array,
     if cfg.learned_pos:
         if positions is None:
             positions = jnp.arange(input_ids.shape[1])[None, :]
-        e = e + params['embed_positions']['w'][positions]
+        e = e + params['embed_positions']['w'][
+            positions + cfg.learned_pos_offset]
     if 'embed_layernorm' in params:  # Bloom word_embeddings_layernorm
         p = params['embed_layernorm']
         e = layer_norm(e, p['w'], p.get('b'), cfg.rms_norm_eps)

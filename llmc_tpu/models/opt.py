@@ -286,3 +286,56 @@ def init_params(cfg: OptConfig, key) -> Dict:
         'project_in': None, 'project_out': None,
         'lm_head': {'w': embed, 'b': None},
     }
+
+
+def to_generalized(cfg: OptConfig, params: Dict):
+    """Map OPT onto the generalized Llama block graph (llama.py
+    LlamaConfig: norm_type='ln', relu non-gated MLP, learned positions
+    with OPT's +2 offset) so the cached-decode / serving / TP paths
+    (serve/decode.py) cover OPT too.  Returns (LlamaConfig, params).
+
+    Only the mainline OPT shape is supported (do_layer_norm_before=True,
+    no word-embed projection) — the pre-LN 350m variant and projected
+    embeddings keep using the native opt graph."""
+    from . import llama as L
+    if not cfg.do_layer_norm_before or cfg.word_embed_proj_dim:
+        raise NotImplementedError(
+            'generalized OPT decode requires do_layer_norm_before=True '
+            'and no word_embed projection')
+    lcfg = L.LlamaConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.ffn_dim,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_attention_heads,
+        head_dim=cfg.head_dim, rms_norm_eps=cfg.layer_norm_eps,
+        max_position_embeddings=cfg.max_position_embeddings,
+        dtype=cfg.dtype, norm_type='ln', rotary_pct=0.0, act_fn='relu',
+        learned_pos=True, learned_pos_offset=2, gated_mlp=False)
+    blocks = []
+    for bp in params['blocks']:
+        blocks.append({
+            'input_layernorm': bp['self_attn_layer_norm'],
+            'self_attn': {
+                'q_proj': bp['self_attn']['q_proj'],
+                'k_proj': bp['self_attn']['k_proj'],
+                'v_proj': bp['self_attn']['v_proj'],
+                'o_proj': bp['self_attn']['out_proj'],
+            },
+            'post_attention_layernorm': bp['final_layer_norm'],
+            'mlp': {'up_proj': bp['fc1'], 'down_proj': bp['fc2']},
+        })
+    fl = params.get('final_layer_norm')
+    if fl is None:  # head LN absent: identity LN
+        import jax.numpy as jnp
+        D = cfg.hidden_size
+        fl = {'w': jnp.ones((D,), cfg.jdtype),
+              'b': jnp.zeros((D,), cfg.jdtype)}
+    gp = {
+        'embed_tokens': params['embed_tokens'],
+        'embed_positions': params['embed_positions'],
+        'blocks': blocks,
+        'norm': fl,
+        'lm_head': params['lm_head'],
+    }
+    return lcfg, gp

