@@ -11,10 +11,11 @@ Reference: /root/reference/llmc/compression/sparsification/kvsparse.py
 - batch_size=1 only (:72), matching the reference
 
 TPU-native: everything is static-shaped; retrieval is a topk+gather per
-step inside the jitted decode.  Simplifications vs the reference (noted
-for round-2): outlier chunks are chosen by landmark-deviation rather than
-the exact heuristic, and generated tokens accumulate in a dense local
-buffer.
+step inside the jitted decode.  Outlier chunks use the reference's exact
+heuristic (smallest min-cosine-similarity between a chunk's landmark and
+its keys, kvsparse.py:288-298) and are excluded from landmark retrieval
+(always attended, never double-counted).  Generated tokens accumulate in
+a dense local buffer.
 """
 
 from __future__ import annotations
@@ -59,12 +60,18 @@ class ShadowKVPolicy:
         # landmarks: chunk means of roped K  [L, 1, KVH, n_chunks, hd]
         kc = kr.reshape(Lc, B, n_chunks, cs, KVH, hd)
         landmarks = kc.mean(axis=3).transpose(0, 1, 3, 2, 4)
-        # outliers: chunks whose keys deviate most from their landmark
-        dev = jnp.linalg.norm(
-            kc - kc.mean(axis=3, keepdims=True), axis=-1).mean(axis=3)
-        dev = dev.transpose(0, 1, 3, 2)                 # [L,1,KVH,n_chunks]
+        # outliers (exact reference heuristic, kvsparse.py:288-298):
+        # per chunk take the MIN cosine similarity between the landmark
+        # and the chunk's keys; the chunks worst-represented by their
+        # landmark (smallest min-sim) are kept exact
+        lmk = kc.mean(axis=3, keepdims=True)            # [L,B,C,1,KVH,hd]
+        num = jnp.sum(kc.astype(F32) * lmk.astype(F32), axis=-1)
+        den = (jnp.linalg.norm(kc.astype(F32), axis=-1)
+               * jnp.linalg.norm(lmk.astype(F32), axis=-1) + 1e-8)
+        cos_min = (num / den).min(axis=3)               # [L,B,C,KVH]
+        cos_min = cos_min.transpose(0, 1, 3, 2)         # [L,B,KVH,C]
         n_out = min(self.outlier_chunk, n_chunks)
-        out_idx = jax.lax.top_k(dev, n_out)[1]          # [L,1,KVH,n_out]
+        out_idx = jax.lax.top_k(-cos_min, n_out)[1]     # [L,1,KVH,n_out]
         # local chunks (most recent) are always kept
         state = {
             'U': U.astype(cfg.jdtype), 'SV': SV.astype(cfg.jdtype),
@@ -95,10 +102,20 @@ class ShadowKVPolicy:
                           lm.astype(F32)) / (128.0 ** 0.5)
         attn = jax.nn.softmax(attn, axis=-1).sum(axis=3)  # [1,KVH,g,C]
         attn = jnp.max(attn, axis=2)                      # [1,KVH,C]
-        k_sel_chunks = min(self.sparse_budget // cs, n_chunks)
-        sel = jax.lax.top_k(attn, k_sel_chunks)[1]        # [1,KVH,sel]
-        # merge with outlier + local chunks
+        # outlier + local chunks are stored exactly and always attended
+        # (reference keeps them OUT of the landmark set, kvsparse.py:
+        # 334-345 sparse_start/end layout) — mask them from retrieval so
+        # no chunk is attended twice
         out_idx = state['out_idx'][layer]                 # [1,KVH,n_out]
+        excl = jax.vmap(jax.vmap(lambda m, i: m.at[i].set(True)))(
+            jnp.zeros(attn.shape, bool), out_idx)
+        local_ids = n_chunks - 1 - jnp.arange(self.local_chunk)
+        excl = excl.at[..., local_ids].set(True)
+        attn = jnp.where(excl, -jnp.inf, attn)
+        n_out = out_idx.shape[-1]
+        k_sel_chunks = max(min(self.sparse_budget // cs,
+                               n_chunks - n_out - self.local_chunk), 1)
+        sel = jax.lax.top_k(attn, k_sel_chunks)[1]        # [1,KVH,sel]
         local = (n_chunks - 1 -
                  jnp.arange(self.local_chunk))[None, None, :]
         local = jnp.broadcast_to(local, (B, KVH, self.local_chunk))

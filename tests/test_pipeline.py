@@ -261,3 +261,34 @@ def test_fake_quant_wo_kv_position():
     a = res['decode_ppl_fake_quant']
     b = res['decode_ppl_fake_quant_wo_kv']
     assert np.isfinite(a) and np.isfinite(b)
+
+
+def test_shadowkv_outlier_heuristic_exact():
+    """Outlier chunks = smallest min-cos-sim(landmark, keys) — the
+    reference heuristic (kvsparse.py:288-298); and retrieval never
+    re-selects outlier or local chunks (no double attention)."""
+    from llmc_tpu.serve.shadowkv import ShadowKVPolicy
+    cfg = LlamaConfig(**TINY, dtype='float32')
+    pol = ShadowKVPolicy(sparse_budget=8, chunk_size=4, rank=16,
+                         outlier_chunk=1, local_chunk=1, max_gen=4)
+    rng = np.random.RandomState(0)
+    L_, B, S, KVH, hd = cfg.num_hidden_layers, 1, 32, \
+        cfg.num_key_value_heads, cfg.head_dim
+    base = rng.randn(1, 1, 1, hd)
+    k = np.repeat(np.repeat(base, S, axis=1), KVH, axis=2) \
+        + 0.01 * rng.randn(B, S, KVH, hd)      # coherent chunks
+    # chunk 3 (tokens 12..15): one rogue opposite-direction key
+    k[0, 13] = -k[0, 13]
+    ku = [jnp.asarray(k, jnp.float32)] * L_
+    v = [jnp.asarray(rng.randn(B, S, KVH, hd), jnp.float32)] * L_
+    st = pol.init_from_prefill(cfg, ku, ku, v)
+    out = np.asarray(st['out_idx'])            # [L, 1, KVH, 1]
+    assert (out == 3).all(), out
+    # retrieval excludes outlier chunk 3 and local chunk 7
+    q = jnp.asarray(rng.randn(1, 1, cfg.num_attention_heads, hd),
+                    jnp.float32)
+    _, _, pos = pol.retrieve(cfg, st, 0, q)
+    sel_chunks = np.asarray(pos).reshape(KVH, -1, pol.chunk_size)[:, :, 0] \
+        // pol.chunk_size
+    n_sel = pol.sparse_budget // pol.chunk_size  # first n_sel are landmark-selected
+    assert (sel_chunks[:, :min(n_sel, sel_chunks.shape[1] - 2)] != 3).all()
