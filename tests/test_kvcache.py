@@ -152,3 +152,45 @@ def test_chunked_decode_gqa_generate(model):
     finally:
         D.CHUNKED_DECODE = old
     np.testing.assert_array_equal(out_c, out_f)
+
+
+def test_naive_kv_parity_vs_reference():
+    """Prefill quantization parity vs the reference NaiveQuantKVCache
+    (kvquant.py:11-186): per-token int8/int4 sym/asym qparams must give
+    the same dequantized K/V (the reference is the oracle; layouts are
+    [B, H, S, hd] there vs [B, S, KVH, hd] here)."""
+    import pytest
+    from tests.ref_oracle import load_ref_module, reference_available
+    if not reference_available():
+        pytest.skip('reference tree unavailable')
+    torch = pytest.importorskip('torch')
+    kvq = load_ref_module('llmc.compression.quantization.kvquant')
+    from llmc_tpu.serve.kvcache import KVCachePolicy
+
+    rng = np.random.RandomState(0)
+    B, H, S, hd = 1, 2, 6, 8
+    k = rng.randn(B, H, S, hd).astype(np.float32) * 3
+    v = rng.randn(B, H, S, hd).astype(np.float32)
+
+    class _Cfg(dict):
+        __getattr__ = dict.get
+
+    for bit, sym in ((8, True), (8, False), (4, True), (4, False)):
+        cfg = _Cfg(bit=bit, symmetric=sym, granularity='per_token')
+        ref = kvq.NaiveQuantKVCache('int-quant', cfg, num_hidden_layers=1)
+        ref._seen_tokens = 0  # newer transformers DynamicCache lacks it
+        rk, rv = ref.update(torch.from_numpy(k), torch.from_numpy(v), 0,
+                            {})
+        # prefill path returns the DEQUANTIZED cache
+        pol = KVCachePolicy(method='naive', bit=bit, symmetric=sym)
+        cache = pol.init_cache(B, S, H, hd, 1, dtype=jnp.float32)
+        cache = pol.update(cache, 0,
+                           jnp.asarray(k.transpose(0, 2, 1, 3)),
+                           jnp.asarray(v.transpose(0, 2, 1, 3)))
+        ours_k, ours_v = pol.read(cache, 0, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(ours_k).transpose(0, 2, 1, 3), rk.numpy(),
+            atol=1e-5, rtol=1e-4, err_msg=f'K bit={bit} sym={sym}')
+        np.testing.assert_allclose(
+            np.asarray(ours_v).transpose(0, 2, 1, 3), rv.numpy(),
+            atol=1e-5, rtol=1e-4, err_msg=f'V bit={bit} sym={sym}')
