@@ -58,6 +58,31 @@ def tiny() -> LlamaConfig:
                        head_dim=64, dtype='bfloat16')
 
 
+def measure_sustained_tflops(steps: int = 64) -> float:
+    """Sustained bf16 MXU rate via a large dense matmul (the practical
+    compute ceiling of THIS chip; the tunnel chip sustains ~50-75 TF of
+    the 197 TF v5e spec, so flop-based rooflines must use this)."""
+    M, K, N = 4096, 4096, 22016
+    w = jnp.ones((K, N), jnp.bfloat16)
+    x0 = jnp.ones((M, K), jnp.bfloat16)
+
+    @jax.jit
+    def run(x0, w):
+        def step(x, _):
+            y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+            return x0 * (1 + y.mean() * 1e-9).astype(jnp.bfloat16), None
+        x, _ = jax.lax.scan(step, x0, None, length=steps)
+        return x
+    np.asarray(run(x0, w))
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(run(x0, w))
+        ts.append(time.time() - t0)
+    dt = sorted(ts)[1] / steps
+    return 2 * M * K * N / dt / 1e12
+
+
 def measure_sustained_bw(steps: int = 512) -> float:
     """Sustained HBM read bandwidth via a bf16 matmul weight stream
     (the most favorable real access pattern XLA produces here)."""
@@ -204,6 +229,11 @@ def main():
 
     bw_meas = measure_sustained_bw()
     frac_sustained = tokens_per_s / (bw_meas / bytes_per_step * B)
+    # context only: the chip's measured large-matmul rate.  The decode
+    # step's M=128 matmuls sustain ~75 TF (tools/w4_probe.py) while the
+    # M=4096 dense measurement lands ~43-51 TF, so a single scalar
+    # cannot serve as a compute roofline — report it, don't ratio it.
+    tf_meas = measure_sustained_tflops()
 
     print(json.dumps({
         'metric': 'llama2_7b_w4a16_decode_tokens_per_s_per_chip'
@@ -216,6 +246,7 @@ def main():
         'ttft_p50_ms': round(ttft_p50 * 1e3, 2),
         'hbm_bw_sustained_gbs': round(bw_meas / 1e9, 1),
         'vs_sustained': round(frac_sustained, 4),
+        'mxu_sustained_tflops': round(tf_meas, 1),
     }))
 
 
