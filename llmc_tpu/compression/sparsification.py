@@ -79,7 +79,7 @@ class BaseBlockwiseSparsification(BlockwiseOpt):
 
 @ALGO_REGISTRY.register(name='Dense')
 class Dense(BaseBlockwiseSparsification):
-    pass
+    needs_calib = False  # no-op baseline: skip calib dataset entirely
 
 
 @ALGO_REGISTRY.register(name='Magnitude')

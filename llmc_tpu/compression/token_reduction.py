@@ -499,6 +499,7 @@ def fastvid_prune(frames: jax.Array, frame_attn: jax.Array,
         for fi in range(a, a + w):
             toks = [np.take_along_axis(np.asarray(ff[fi]),
                                        sal_idx[fi][:, None], axis=0)]
+            positions = [sal_idx[fi]]
             if fi in anchors and cur_ctx > 0:
                 top = np.argsort(-score[fi])[:cur_ctx]
                 # DTM: merge the whole SEGMENT's filtered tokens into
@@ -514,7 +515,13 @@ def fastvid_prune(frames: jax.Array, frame_attn: jax.Array,
                     agg = grp.mean(0) if len(grp) else base
                     ctx_toks.append(wgt * base + (1 - wgt) * agg)
                 toks.append(np.stack(ctx_toks))
-            out.append(np.concatenate(toks, axis=0))
+                positions.append(filt_idx[fi][top])
+            # restore original token order within the frame — the
+            # reference argsorts keep_indexs before splicing
+            # (fastvid.py:546-549)
+            frame_toks = np.concatenate(toks, axis=0)
+            order = np.argsort(np.concatenate(positions))
+            out.append(frame_toks[order])
     return jnp.asarray(np.concatenate(out, axis=0),
                        frames.dtype)[None]
 
@@ -595,23 +602,32 @@ def holitom_merge(frames: jax.Array, frame_attn: jax.Array, *,
         i = prev[i] - 1
     windows = windows[::-1]
 
-    def merge_attn_density(feat, attn):
+    def merge_attn_density(feat, attn, pos):
+        """Dominant + density-merged context tokens, restored to
+        original token order (the reference sorts dynamic_pos before
+        splicing, holitom.py:455-462)."""
         n = feat.shape[0]
         keep = int(np.ceil(n * retain_ratio))
         dom = round(keep * (1 - D))
         ctx = keep - dom
-        parts = []
+        parts, ppos = [], []
         mask = np.ones(n, bool)
         if dom > 0:
-            di = np.argsort(-attn)[:dom]
+            di = np.sort(np.argsort(-attn)[:dom])
             mask[di] = False
-            parts.append(feat[np.sort(di)])
+            parts.append(feat[di])
+            ppos.append(pos[di])
         if ctx > 0 and mask.sum() > 0:
             ff = feat[mask]
             t, dist = _holitom_dpc(ff, min(ctx, ff.shape[0]),
                                    min(K, max(ctx, 1)))
             parts.append(_holitom_cluster_merge(ff, t, dist, beta))
-        return np.concatenate(parts, axis=0) if parts else feat[:0]
+            ppos.append(pos[mask][t])
+        if not parts:
+            return feat[:0]
+        toks = np.concatenate(parts, axis=0)
+        order = np.argsort(np.concatenate(ppos))
+        return toks[order]
 
     out = []
     for (s, e) in windows:
@@ -627,8 +643,10 @@ def holitom_merge(frames: jax.Array, frame_attn: jax.Array, *,
                 t, dist = _holitom_dpc(sf, keep, min(K, keep))
                 out.append(_holitom_cluster_merge(sf, t, dist, beta))
         dyn = ~static_mask
+        dyn_pos = np.nonzero(dyn)[0]
         for fi in range(s, e + 1):
-            out.append(merge_attn_density(fnp[fi, dyn], anp[fi, dyn]))
+            out.append(merge_attn_density(fnp[fi, dyn], anp[fi, dyn],
+                                          dyn_pos))
     return jnp.asarray(np.concatenate(out, axis=0),
                        frames.dtype)[None]
 
@@ -667,6 +685,7 @@ class TokenReduction(BlockwiseOpt):
     and no calibration data are needed."""
 
     wspec = None
+    needs_calib = False
 
     def __init__(self, model, sparsity_config, inputs, padding_mask,
                  config):

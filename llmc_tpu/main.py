@@ -55,8 +55,16 @@ def _vqa_samples(model, batches, ans_len: int):
     import jax.numpy as jnp
     samples = []
     for b in batches:
-        img_kwargs = {k: v for k, v in b.items()
-                      if k not in ('input_ids', 'attention_mask')}
+        # one sample per batch row 0: slice batch-major image arrays to
+        # the first row so ids and image kwargs stay batch-aligned
+        # (non-batch-major kwargs like qwen2vl pixel_patches pass
+        # through — those sources are bs=1)
+        bs = int(np.asarray(b['input_ids']).shape[0])
+        img_kwargs = {k: (np.asarray(v)[:1] if bs > 1 and isinstance(
+            v, np.ndarray) and np.asarray(v).ndim > 1
+            and np.asarray(v).shape[0] == bs else v)
+            for k, v in b.items()
+            if k not in ('input_ids', 'attention_mask')}
         cur = jnp.asarray(np.asarray(b['input_ids'], np.int32))[:1]
         jk = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
               for k, v in img_kwargs.items()}
@@ -164,8 +172,8 @@ def run_pipeline(config: Dict) -> Dict:
         if hasattr(model, 'set_modality'):
             model.set_modality(modality)
         calib_cfg = config.get('calib')
-        if calib_cfg and mcfg.get('method') not in ('Dense',
-                                                    'TokenReduction'):
+        algo_cls = ALGO_REGISTRY[mcfg['method']]
+        if calib_cfg and getattr(algo_cls, 'needs_calib', True):
             dataset = CalibDataset(calib_cfg, model.tokenizer)
             batches, padding_mask = dataset.get_calib_dataset()
             jb = [dict(b, **({'input_ids': jnp.asarray(b['input_ids'])}
@@ -184,7 +192,6 @@ def run_pipeline(config: Dict) -> Dict:
                 inputs = shard_inputs_dict(dp_calib_mesh(dp), inputs)
         else:
             inputs, padding_mask = {'data': [], 'kwargs': []}, None
-        algo_cls = ALGO_REGISTRY[mcfg['method']]
         blockwise_opt = algo_cls(model, mcfg, inputs, padding_mask, config)
         with TIMER.phase(f"calib_{mcfg['method']}"), \
                 trace(config.get('base', {}).get('trace_dir')):

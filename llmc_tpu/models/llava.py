@@ -95,30 +95,38 @@ def clip_embed(vp: Dict, cfg: LlavaConfig, pixels: jax.Array) -> jax.Array:
                       cfg.vision.rms_norm_eps)
 
 
-def _vision_block_with_probs(bp: Dict, vc: L.LlamaConfig, x: jax.Array):
+def _vision_block_with_probs(bp: Dict, vc: L.LlamaConfig, x: jax.Array,
+                             qmap=None):
     """Run one CLIP-style block returning (y, attn_probs [B,H,S,S],
     keys_mean_over_heads [B,S,hd]) — the probe tower-side token-reduction
     methods need (FasterVLM attentions, VisionZip attn+key metric)."""
     B, S, D = x.shape
     H = vc.num_attention_heads
     hd = vc.head_dim
+
+    def qc(path):
+        return qmap.get(path) if qmap is not None else None
     h = layer_norm(x, bp['input_layernorm']['w'],
                    bp['input_layernorm'].get('b'), vc.rms_norm_eps)
     ap = bp['self_attn']
-    q = linear_apply(ap['q_proj'], h).reshape(B, S, H, hd)
-    k = linear_apply(ap['k_proj'], h).reshape(B, S, H, hd)
-    v = linear_apply(ap['v_proj'], h).reshape(B, S, H, hd)
+    q = linear_apply(ap['q_proj'], h, qc('self_attn.q_proj')).reshape(
+        B, S, H, hd)
+    k = linear_apply(ap['k_proj'], h, qc('self_attn.k_proj')).reshape(
+        B, S, H, hd)
+    v = linear_apply(ap['v_proj'], h, qc('self_attn.v_proj')).reshape(
+        B, S, H, hd)
     scores = jnp.einsum('bqhd,bkhd->bhqk', q, k,
                         preferred_element_type=F32) / (hd ** 0.5)
     probs = jax.nn.softmax(scores, axis=-1)
     ctx = jnp.einsum('bhqk,bkhd->bqhd', probs.astype(x.dtype), v,
                      preferred_element_type=F32).astype(x.dtype)
-    attn_out = linear_apply(ap['o_proj'], ctx.reshape(B, S, H * hd))
+    attn_out = linear_apply(ap['o_proj'], ctx.reshape(B, S, H * hd),
+                            qc('self_attn.o_proj'))
     x = x + attn_out
     h2 = layer_norm(x, bp['post_attention_layernorm']['w'],
                     bp['post_attention_layernorm'].get('b'),
                     vc.rms_norm_eps)
-    mlp_out, _ = L.mlp_apply(bp['mlp'], h2, None, act=vc.act_fn)
+    mlp_out, _ = L.mlp_apply(bp['mlp'], h2, qmap, act=vc.act_fn)
     keys_mean = k.astype(F32).mean(axis=2)                   # [B, S, hd]
     return x + mlp_out, probs, keys_mean
 
@@ -197,11 +205,33 @@ def video_features(vp: Dict, cfg: LlavaConfig, pixels_videos: jax.Array,
     DyCoke temporal token merging (dycoke.py:20-104) on the frame
     features — batch 1, static output length."""
     B, F_, C, H, W = pixels_videos.shape
-    feats = vision_features(vp, cfg, pixels_videos.reshape(B * F_, C,
-                                                           H, W),
-                            qmap=qmap)
-    N = feats.shape[1]
-    feats = feats.reshape(B, F_ * N, -1)
+    method = (reduction or {}).get('method')
+    if method in ('FastVID', 'HoliTom'):
+        # ONE tower pass: the select layer runs via the probs-capturing
+        # block (qmap honored) and feats derive from the same hidden
+        # state — the reference reads both off the same forward too
+        vc = cfg.vision
+        nl = vc.num_hidden_layers
+        upto = cfg.vision_feature_layer % nl + 1 \
+            if cfg.vision_feature_layer < 0 else cfg.vision_feature_layer
+        no_mask = jnp.zeros((1, 1, 1, 1), F32)
+        x = clip_embed(vp, cfg, pixels_videos.reshape(B * F_, C, H, W))
+        for bp in vp['blocks'][:upto - 1]:
+            x, _, _ = L.block_apply(bp, vc, x, None, None,
+                                    attn_bias=no_mask, qmap=qmap)
+        x, probs, _ = _vision_block_with_probs(vp['blocks'][upto - 1],
+                                               vc, x, qmap=qmap)
+        frame_attn = probs[:, :, 0, 1:].mean(axis=1)         # [F, N]
+        frame_global = x[:, 0]                               # [F, C_v]
+        feats = (x[:, 1:] if cfg.vision_feature_select_strategy
+                 == 'default' else x)
+        N = feats.shape[1]
+        feats = feats.reshape(B, F_ * N, -1)
+    else:
+        feats = vision_features(vp, cfg, pixels_videos.reshape(
+            B * F_, C, H, W), qmap=qmap)
+        N = feats.shape[1]
+        feats = feats.reshape(B, F_ * N, -1)
     if reduction and reduction.get('method') == 'DyCoke':
         from ..compression.token_reduction import dycoke_ttm
         assert B == 1, 'DyCoke wiring supports batch 1 (reference too)'
@@ -216,25 +246,12 @@ def video_features(vp: Dict, cfg: LlavaConfig, pixels_videos: jax.Array,
             float(reduction.get('taus', 0.8)),
             float(reduction.get('cluster_ratios', 0.5)),
             float(reduction.get('temporal_segment_ratios', 0.25)))[None]
-    elif reduction and reduction.get('method') == 'FastVID':
+    elif method == 'FastVID':
         from ..compression.token_reduction import fastvid_prune
         assert B == 1, 'FastVID wiring supports batch 1 (reference too)'
-        # per-frame saliency + global feature from the tower's select
-        # layer (the reference's SigLip vision-abstract head attention;
-        # here the CLS->patch attention of the CLIP tower)
-        x = clip_embed(vp, cfg, pixels_videos.reshape(B * F_, C, H, W))
-        vc = cfg.vision
-        nl = vc.num_hidden_layers
-        upto = cfg.vision_feature_layer % nl + 1 \
-            if cfg.vision_feature_layer < 0 else cfg.vision_feature_layer
-        no_mask = jnp.zeros((1, 1, 1, 1), F32)
-        for bp in vp['blocks'][:upto - 1]:
-            x, _, _ = L.block_apply(bp, vc, x, None, None,
-                                    attn_bias=no_mask)
-        x, probs, _ = _vision_block_with_probs(vp['blocks'][upto - 1],
-                                               vc, x)
-        frame_attn = probs[:, :, 0, 1:].mean(axis=1)         # [F, N]
-        frame_global = x[:, 0]                               # [F, C_v]
+        # per-frame saliency + global feature came off the tower's
+        # select layer above (the reference's SigLip vision-abstract
+        # head attention; here CLS->patch attention of the CLIP tower)
         kw = {k[8:]: reduction[k] for k in
               ('fastvid_DySeg_c', 'fastvid_DySeg_tau',
                'fastvid_retention_ratio', 'fastvid_STPrune_d',
@@ -242,21 +259,9 @@ def video_features(vp: Dict, cfg: LlavaConfig, pixels_videos: jax.Array,
               if k in reduction}
         feats = fastvid_prune(feats[0].reshape(F_, N, -1),
                               frame_attn, frame_global, **kw)
-    elif reduction and reduction.get('method') == 'HoliTom':
+    elif method == 'HoliTom':
         from ..compression.token_reduction import holitom_merge
         assert B == 1, 'HoliTom wiring supports batch 1 (reference too)'
-        x = clip_embed(vp, cfg, pixels_videos.reshape(B * F_, C, H, W))
-        vc = cfg.vision
-        nl = vc.num_hidden_layers
-        upto = cfg.vision_feature_layer % nl + 1 \
-            if cfg.vision_feature_layer < 0 else cfg.vision_feature_layer
-        no_mask = jnp.zeros((1, 1, 1, 1), F32)
-        for bp in vp['blocks'][:upto - 1]:
-            x, _, _ = L.block_apply(bp, vc, x, None, None,
-                                    attn_bias=no_mask)
-        x, probs, _ = _vision_block_with_probs(vp['blocks'][upto - 1],
-                                               vc, x)
-        frame_attn = probs[:, :, 0, 1:].mean(axis=1)         # [F, N]
         kw = {k[8:]: reduction[k] for k in
               ('holitom_tau', 'holitom_max_window_size',
                'holitom_retain_ratio', 'holitom_D', 'holitom_beta',
@@ -673,12 +678,18 @@ def videollava_forward(params: Dict, cfg: LlavaConfig,
     method = (token_reduction or {}).get('method')
     tc = cfg.text
     if pixel_values_videos is not None:
+        if method is not None and method not in (
+                'DyCoke', 'PruneVid', 'FastVID', 'HoliTom'):
+            # the reference wires only the video methods into
+            # Video-LLaVA; a no-op would silently report an
+            # uncompressed run as compressed — fail loudly instead
+            raise NotImplementedError(
+                f'token-reduction method {method!r} is not wired for '
+                f'video inputs (supported: DyCoke, PruneVid, FastVID, '
+                f'HoliTom)')
         feats = video_features(params['vision'], cfg,
                                pixel_values_videos, qmap=qmap,
-                               reduction=token_reduction
-                               if method in ('DyCoke', 'PruneVid',
-                                             'FastVID', 'HoliTom')
-                               else None)
+                               reduction=token_reduction)
         feats = project_features(params['projector'], cfg, feats)
         vt = cfg.video_token_index
         full_len = cfg.num_frames * cfg.image_seq_length

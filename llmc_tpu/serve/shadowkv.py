@@ -70,7 +70,13 @@ class ShadowKVPolicy:
                * jnp.linalg.norm(lmk.astype(F32), axis=-1) + 1e-8)
         cos_min = (num / den).min(axis=3)               # [L,B,C,KVH]
         cos_min = cos_min.transpose(0, 1, 3, 2)         # [L,B,KVH,C]
-        n_out = min(self.outlier_chunk, n_chunks)
+        # the local window lives outside the landmark/outlier region in
+        # the reference (kvsparse.py:255-270) — exclude it so outlier
+        # and local chunk sets never overlap
+        loc = max(min(self.local_chunk, n_chunks - 1), 0)
+        if loc:
+            cos_min = cos_min.at[..., n_chunks - loc:].set(jnp.inf)
+        n_out = min(self.outlier_chunk, n_chunks - loc)
         out_idx = jax.lax.top_k(-cos_min, n_out)[1]     # [L,1,KVH,n_out]
         # local chunks (most recent) are always kept
         state = {
@@ -113,13 +119,19 @@ class ShadowKVPolicy:
         excl = excl.at[..., local_ids].set(True)
         attn = jnp.where(excl, -jnp.inf, attn)
         n_out = out_idx.shape[-1]
-        k_sel_chunks = max(min(self.sparse_budget // cs,
-                               n_chunks - n_out - self.local_chunk), 1)
-        sel = jax.lax.top_k(attn, k_sel_chunks)[1]        # [1,KVH,sel]
+        k_sel_chunks = min(self.sparse_budget // cs,
+                           n_chunks - n_out - self.local_chunk)
         local = (n_chunks - 1 -
                  jnp.arange(self.local_chunk))[None, None, :]
         local = jnp.broadcast_to(local, (B, KVH, self.local_chunk))
-        chunks = jnp.concatenate([sel, out_idx, local], axis=-1)
+        if k_sel_chunks > 0:
+            sel = jax.lax.top_k(attn, k_sel_chunks)[1]    # [1,KVH,sel]
+            chunks = jnp.concatenate([sel, out_idx, local], axis=-1)
+        else:
+            # short prefill: outlier + local already cover every chunk —
+            # selecting from the all-masked landmark scores would re-pick
+            # an outlier chunk and attend it twice
+            chunks = jnp.concatenate([out_idx, local], axis=-1)
         # expand to token positions [1, KVH, n_tok]
         pos = (chunks[..., None] * cs +
                jnp.arange(cs)[None, None, None, :]).reshape(B, KVH, -1)
