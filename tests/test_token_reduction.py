@@ -232,3 +232,46 @@ def test_video_methods_wired_into_videollava():
             token_reduction=dict({'method': method}, **kwargs))
         assert out.shape[0] == 1 and out.shape[2] == 72
         assert out.shape[1] < S, method   # sequence actually shrank
+
+
+def test_fastvid_output_preserves_token_order():
+    """Kept tokens must come out in original per-frame order — the
+    reference argsorts keep indices before splicing (fastvid.py:546-549)."""
+    import numpy as np
+    from llmc_tpu.compression.token_reduction import fastvid_prune
+    F_, N, C = 2, 8, 4
+    # token value encodes its index: frames[f, i] = f*100 + i
+    base = (np.arange(F_)[:, None] * 100
+            + np.arange(N)[None, :]).astype(np.float32)
+    frames = jnp.asarray(np.repeat(base[..., None], C, axis=-1))
+    # saliency picks indices 5, 1, 6 (descending attn) in every frame
+    attn = np.zeros((F_, N), np.float32)
+    attn[:, 5], attn[:, 1], attn[:, 6] = 3, 2, 1
+    glob = jnp.asarray(np.ones((F_, C), np.float32))
+    out = np.asarray(fastvid_prune(
+        frames, jnp.asarray(attn), glob, DySeg_c=1, DySeg_tau=-1.0,
+        retention_ratio=0.375, STPrune_d=0.0, DTM_p=99))[0]
+    # pure-salient config (no context): per frame exactly tokens 1,5,6
+    # in ORIGINAL order
+    ids = out[:, 0].astype(int)
+    assert ids.tolist() == [1, 5, 6, 101, 105, 106], ids.tolist()
+
+
+def test_holitom_dynamic_tokens_in_order():
+    """HoliTom dynamic-token output is sorted by original position
+    (holitom.py:455-462 grid-mode sort)."""
+    import numpy as np
+    from llmc_tpu.compression.token_reduction import holitom_merge
+    rng = np.random.RandomState(0)
+    F_, N, C = 2, 8, 4
+    base = (np.arange(F_)[:, None] * 100
+            + np.arange(N)[None, :]).astype(np.float32)
+    frames = jnp.asarray(np.repeat(base[..., None], C, axis=-1)
+                         + 0.001 * rng.randn(F_, N, C).astype(np.float32))
+    attn = np.zeros((F_, N), np.float32)
+    attn[:, 6], attn[:, 2] = 2, 1     # dominant picks 6 then 2
+    # tau>1: nothing static; D=0 -> all-dominant (no context merge)
+    out = np.asarray(holitom_merge(frames, jnp.asarray(attn), tau=1.5,
+                                   retain_ratio=0.25, D=0.0))[0]
+    ids = np.round(out[:, 0]).astype(int)
+    assert ids.tolist() == [2, 6, 102, 106], ids.tolist()
