@@ -189,6 +189,15 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
     cache = policy.update(cache, layer, k, v)
     qs = cfg.query_pre_attn_scalar
     scale = 1.0 / ((qs if qs else hd) ** 0.5)
+    if policy.method == 'paged':
+        # page-pool cache (serve/paged_cache.py): gather-read attention
+        assert S == 1, 'paged cache is a decode-step cache'
+        from .paged_cache import decode_attn_paged
+        ctx = decode_attn_paged(q.astype(F32) * scale, cache, layer,
+                                policy, cfg).astype(x.dtype)
+        attn_out = linear_apply(p['o_proj'], ctx.reshape(B, S, H * hd),
+                                qc('self_attn.o_proj'))
+        return _finish_block(bp, cfg, x, h, attn_out, qc, qmap), cache
     kbuf = cache.get('k') if policy.method in ('fp', 'sink') \
         else cache.get('k_q')
     Smax = kbuf.shape[2]
@@ -256,8 +265,23 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
                          preferred_element_type=F32).astype(x.dtype)
     attn_out = linear_apply(p['o_proj'], ctx.reshape(B, S, H * hd),
                             qc('self_attn.o_proj'))
+    return _finish_block(bp, cfg, x, h, attn_out, qc, qmap), cache
+
+
+def _finish_block(bp, cfg, x, h, attn_out, qc, qmap):
+    """Post-attention residual + MLP tail of the decoder block (shared
+    by the contiguous-cache and paged-cache attention paths)."""
+    from ..models.base import layer_norm, rms_norm
+    eps = cfg.rms_norm_eps
+    rm = cfg.residual_multiplier or 1.0
+
+    def norm(v, p):
+        if cfg.norm_type == 'ln':
+            return layer_norm(v, p['w'], p.get('b'), eps)
+        return rms_norm(v, p['w'], eps)
 
     def mlp(h_in):
+        from ..models.base import linear_apply
         mp = bp['mlp']
         if 'gate_up_proj' in mp:  # fused serving layout (gated)
             gu = linear_apply(mp['gate_up_proj'], h_in,
@@ -272,7 +296,7 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
 
     if cfg.parallel_residual:
         h2 = h if cfg.shared_ln else norm(x, bp['post_attention_layernorm'])
-        return x + attn_out + mlp(h2), cache
+        return x + attn_out + mlp(h2)
     if cfg.sandwich_norms:
         attn_out = norm(attn_out, bp['post_attention_layernorm'])
         x = x + attn_out
@@ -283,7 +307,7 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
     mlp_out = mlp(h)
     if cfg.sandwich_norms:
         mlp_out = norm(mlp_out, bp['post_feedforward_layernorm'])
-    return x + mlp_out * rm, cache
+    return x + mlp_out * rm
 
 
 def stack_block_params(blocks):

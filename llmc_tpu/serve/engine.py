@@ -77,8 +77,8 @@ class ServingEngine:
         self.cfg = model.cfg
         self.qmap = qmap
         self.policy = kv_policy
-        assert kv_policy.method in ('fp', 'naive'), \
-            'engine supports fp / quantized (naive) KV policies'
+        assert kv_policy.method in ('fp', 'naive', 'paged'), \
+            'engine supports fp / quantized (naive) / paged KV policies'
         self.temperature = float(temperature)
         self.top_p = float(top_p)
         self.mesh = mesh
@@ -115,8 +115,16 @@ class ServingEngine:
         self.last_tok = jnp.zeros((self.B,), jnp.int32)
         self.slot_req: List[Optional[Request]] = [None] * self.B
         self.queue: deque = deque()
+        self.allocator = None
+        if kv_policy.method == 'paged':
+            from .paged_cache import PageAllocator
+            assert all(b % kv_policy.page_size == 0 for b in self.buckets), \
+                'prefill buckets must be multiples of page_size'
+            self.allocator = PageAllocator(kv_policy)
         self._prefill_jit = jax.jit(self._prefill,
                                     static_argnames=('slen',))
+        self._prefill_paged_jit = jax.jit(self._prefill_paged,
+                                          static_argnames=('slen',))
         self._decode_jit = jax.jit(self._decode_step)
 
     # ------------------------------------------------------------------
@@ -162,6 +170,37 @@ class ServingEngine:
                             0.0, 1.0)[0]   # first token greedy
         return nxt, cache
 
+    def _prefill_paged(self, params, stacked, ids, slot, p_last, cache,
+                       slen):
+        """Prefill on a LOCAL dense FP cache, then scatter the K/V rows
+        into the slot's pool pages (paged_cache.py).  The page table row
+        was written by the allocator before this call."""
+        cfg = self.cfg
+        local = FP.init_cache(1, slen, cfg.num_key_value_heads,
+                              cfg.head_dim, cfg.num_hidden_layers,
+                              dtype=cfg.jdtype)
+        logits, local = forward_cached(params, cfg, ids, local, FP,
+                                       self.qmap, stacked_blocks=stacked,
+                                       unroll=stacked is not None)
+        ps = self.policy.page_size
+        n_loc = slen // ps
+        Lc = cfg.num_hidden_layers
+        pages = jax.lax.dynamic_slice(
+            cache['table'], (slot, 0), (1, n_loc))[0]        # [n_loc]
+        kr = local['k'][:, 0].reshape(Lc, n_loc, ps,
+                                      cfg.num_key_value_heads,
+                                      cfg.head_dim)
+        vr = local['v'][:, 0].reshape(Lc, n_loc, ps,
+                                      cfg.num_key_value_heads,
+                                      cfg.head_dim)
+        cache = dict(cache,
+                     pool_k=cache['pool_k'].at[:, pages].set(kr),
+                     pool_v=cache['pool_v'].at[:, pages].set(vr))
+        last = jnp.take(logits[0], p_last, axis=0)
+        nxt = sample_logits(last[None], jax.random.PRNGKey(0),
+                            0.0, 1.0)[0]
+        return nxt, cache
+
     # ------------------------------------------------------------------
     # host scheduler
     # ------------------------------------------------------------------
@@ -173,17 +212,32 @@ class ServingEngine:
         for b in range(self.B):
             if self.active[b] or not self.queue:
                 continue
-            req = self.queue.popleft()
+            req = self.queue[0]
             P = len(req.prompt_ids)
             bucket = next((s for s in self.buckets if s >= P),
                           self.buckets[-1])
+            if self.allocator is not None:
+                # page budget covers the bucket splice + generation
+                need = max(bucket, P + req.max_new_tokens)
+                if not self.allocator.can_admit(need):
+                    break              # pool exhausted: request waits
+            self.queue.popleft()
             ids = np.asarray(req.prompt_ids, np.int32)[None, :]
             pad = bucket - P
             if pad:
                 ids = np.pad(ids, ((0, 0), (0, pad)))
-            nxt, self.cache = self._prefill_jit(
-                self.params, self.stacked, jnp.asarray(ids), b, P - 1,
-                self.cache, slen=bucket)
+            if self.allocator is not None:
+                table, _ = self.allocator.allocate(
+                    b, max(bucket, P + req.max_new_tokens),
+                    self.cache['table'])
+                self.cache = dict(self.cache, table=table)
+                nxt, self.cache = self._prefill_paged_jit(
+                    self.params, self.stacked, jnp.asarray(ids), b,
+                    P - 1, self.cache, slen=bucket)
+            else:
+                nxt, self.cache = self._prefill_jit(
+                    self.params, self.stacked, jnp.asarray(ids), b,
+                    P - 1, self.cache, slen=bucket)
             # position = P (padding beyond P is never read: attention
             # masks at pos, and decode overwrites from P on)
             self.cache = dict(self.cache,
@@ -218,6 +272,10 @@ class ServingEngine:
                 req.done = True
                 self.active[b] = False
                 self.slot_req[b] = None
+                if self.allocator is not None:
+                    self.cache = dict(self.cache,
+                                      table=self.allocator.release(
+                                          b, self.cache['table']))
         return True
 
     def run(self, requests: List[Request], max_steps: int = 10000

@@ -102,3 +102,45 @@ def test_engine_tp_sharded_matches_single_device():
     for r1, r2 in zip(reqs1, reqs2):
         np.testing.assert_array_equal(np.asarray(r1.output_ids),
                                       np.asarray(r2.output_ids))
+
+
+def test_engine_paged_cache_matches_dense():
+    """Paged KV cache (serve/paged_cache.py): identical outputs to the
+    dense fp engine on the same requests, with a page pool SMALLER than
+    the dense [B, max_len] allocation."""
+    from llmc_tpu.serve.paged_cache import PagedKVPolicy
+    cfg = LlamaConfig(**TINY, dtype='float32')
+    m = LlamaAdapter.random(cfg, seed=7)
+    reqs_d = _reqs(n=3, seed=9, max_new=6)
+    reqs_p = _reqs(n=3, seed=9, max_new=6)
+    dense = ServingEngine(m, max_batch=2, max_len=64,
+                          prefill_buckets=(16, 32))
+    dense.run(reqs_d)
+    # dense equivalent would need B*max_len/ps = 2*64/16 = 8 pages;
+    # pool of 6 (5 usable + scratch) forces real reuse across requests
+    pol = PagedKVPolicy(page_size=16, n_pages=6, max_pages=4)
+    paged = ServingEngine(m, max_batch=2, max_len=64, kv_policy=pol,
+                          prefill_buckets=(16, 32))
+    paged.run(reqs_p)
+    for rd, rp in zip(reqs_d, reqs_p):
+        assert rp.done
+        np.testing.assert_array_equal(np.asarray(rd.output_ids),
+                                      np.asarray(rp.output_ids))
+
+
+def test_engine_paged_pool_exhaustion_queues():
+    """When the pool cannot hold another request, admission waits
+    instead of corrupting live pages; the request completes later."""
+    from llmc_tpu.serve.paged_cache import PagedKVPolicy
+    cfg = LlamaConfig(**TINY, dtype='float32')
+    m = LlamaAdapter.random(cfg, seed=8)
+    # 3 usable pages of 16: one request (bucket 16 + gen) takes 2 pages,
+    # so two concurrent requests exceed the pool
+    pol = PagedKVPolicy(page_size=16, n_pages=4, max_pages=4)
+    eng = ServingEngine(m, max_batch=2, max_len=48, kv_policy=pol,
+                        prefill_buckets=(16,))
+    reqs = _reqs(n=3, seed=11, max_new=5)
+    eng.run(reqs)
+    assert all(r.done and len(r.output_ids) == 5 for r in reqs)
+    # pool fully returned after completion
+    assert len(eng.allocator.free) == pol.n_pages - 1
