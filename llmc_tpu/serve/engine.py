@@ -187,15 +187,25 @@ class ServingEngine:
         Lc = cfg.num_hidden_layers
         pages = jax.lax.dynamic_slice(
             cache['table'], (slot, 0), (1, n_loc))[0]        # [n_loc]
-        kr = local['k'][:, 0].reshape(Lc, n_loc, ps,
-                                      cfg.num_key_value_heads,
-                                      cfg.head_dim)
-        vr = local['v'][:, 0].reshape(Lc, n_loc, ps,
-                                      cfg.num_key_value_heads,
-                                      cfg.head_dim)
-        cache = dict(cache,
-                     pool_k=cache['pool_k'].at[:, pages].set(kr),
-                     pool_v=cache['pool_v'].at[:, pages].set(vr))
+
+        def rows(buf):
+            return buf[:, 0].reshape(Lc, n_loc, ps,
+                                     cfg.num_key_value_heads, -1)
+        cache = dict(cache)
+        if self.policy.bit:
+            kq, ks = self.policy._quant(local['k'])
+            vq, vs = self.policy._quant(local['v'])
+            cache['pool_k'] = cache['pool_k'].at[:, pages].set(rows(kq))
+            cache['pool_v'] = cache['pool_v'].at[:, pages].set(rows(vq))
+            cache['pool_k_s'] = cache['pool_k_s'].at[:, pages].set(
+                rows(ks[..., None])[..., 0])
+            cache['pool_v_s'] = cache['pool_v_s'].at[:, pages].set(
+                rows(vs[..., None])[..., 0])
+        else:
+            cache['pool_k'] = cache['pool_k'].at[:, pages].set(
+                rows(local['k']))
+            cache['pool_v'] = cache['pool_v'].at[:, pages].set(
+                rows(local['v']))
         last = jnp.take(logits[0], p_last, axis=0)
         nxt = sample_logits(last[None], jax.random.PRNGKey(0),
                             0.0, 1.0)[0]

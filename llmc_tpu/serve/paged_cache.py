@@ -32,12 +32,18 @@ F32 = jnp.float32
 
 @dataclasses.dataclass(frozen=True)
 class PagedKVPolicy:
-    """FP paged KV cache (hashable for jit; duck-types KVCachePolicy)."""
+    """Paged KV cache (hashable for jit; duck-types KVCachePolicy).
+
+    bit=0: FP pool.  bit=8: symmetric per-(token,head) int8 pool with
+    POST-DOT scale folding in the attention (codes go straight to the
+    MXU; the scale multiplies scores/probs — same trick as the
+    contiguous int8 path, kvcache.py read_chunk)."""
 
     method: str = 'paged'
     page_size: int = 16
     n_pages: int = 256
     max_pages: int = 64          # per-slot page-table length
+    bit: int = 0                 # 0 = fp, 8 = int8 symmetric
 
     def init_cache(self, batch: int, max_len: int, kv_heads: int,
                    head_dim: int, n_blocks: int, dtype=jnp.bfloat16
@@ -46,12 +52,29 @@ class PagedKVPolicy:
             f'max_len {max_len} exceeds {self.max_pages} pages'
         pshape = (n_blocks, self.n_pages, self.page_size, kv_heads,
                   head_dim)
-        return {
-            'pool_k': jnp.zeros(pshape, dtype),
-            'pool_v': jnp.zeros(pshape, dtype),
+        cache = {
             'table': jnp.full((batch, self.max_pages), -1, jnp.int32),
             'pos': jnp.zeros((batch,), jnp.int32),
         }
+        if self.bit:
+            cache['pool_k'] = jnp.zeros(pshape, jnp.int8)
+            cache['pool_v'] = jnp.zeros(pshape, jnp.int8)
+            cache['pool_k_s'] = jnp.zeros(pshape[:-1], F32)
+            cache['pool_v_s'] = jnp.zeros(pshape[:-1], F32)
+        else:
+            cache['pool_k'] = jnp.zeros(pshape, dtype)
+            cache['pool_v'] = jnp.zeros(pshape, dtype)
+        return cache
+
+    def _quant(self, t: jax.Array):
+        """Symmetric per-(token,head) int8 over head_dim."""
+        qmax = 2 ** (self.bit - 1) - 1
+        tf = t.astype(F32)
+        amax = jnp.clip(jnp.max(jnp.abs(tf), axis=-1, keepdims=True),
+                        1e-5, None)
+        s = amax / qmax
+        q = jnp.clip(jnp.round(tf / s), -qmax - 1, qmax).astype(jnp.int8)
+        return q, s[..., 0]
 
     # -- update ---------------------------------------------------------
     def update(self, cache: Dict, layer: int, k_new: jax.Array,
@@ -66,7 +89,7 @@ class PagedKVPolicy:
         pos = jnp.broadcast_to(jnp.asarray(cache['pos']), (B,))
         cache = dict(cache)
 
-        def write_one(buf, new, step):
+        def page_off(step):
             p = pos + step                                   # [B]
             page = jnp.take_along_axis(
                 cache['table'], (p // ps)[:, None], axis=1)[:, 0]
@@ -75,19 +98,45 @@ class PagedKVPolicy:
             # scratch page (last pool page, never allocated) instead of
             # wrapping into a live page
             page = jnp.where(page < 0, self.n_pages - 1, page)
-            off = p % ps
+            return page, p % ps
+
+        def write_one(buf, new, step):
+            page, off = page_off(step)
             return buf.at[layer, page, off].set(new[:, step])
 
-        if S == 1:
-            cache['pool_k'] = write_one(cache['pool_k'], k_new, 0)
-            cache['pool_v'] = write_one(cache['pool_v'], v_new, 0)
+        if not self.bit:
+            if S == 1:
+                cache['pool_k'] = write_one(cache['pool_k'], k_new, 0)
+                cache['pool_v'] = write_one(cache['pool_v'], v_new, 0)
+                return cache
+
+            def body(s, carry):
+                bk, bv = carry
+                return write_one(bk, k_new, s), write_one(bv, v_new, s)
+            cache['pool_k'], cache['pool_v'] = jax.lax.fori_loop(
+                0, S, body, (cache['pool_k'], cache['pool_v']))
             return cache
 
-        def body(s, carry):
-            bk, bv = carry
-            return write_one(bk, k_new, s), write_one(bv, v_new, s)
-        cache['pool_k'], cache['pool_v'] = jax.lax.fori_loop(
-            0, S, body, (cache['pool_k'], cache['pool_v']))
+        kq, ks = self._quant(k_new)
+        vq, vs = self._quant(v_new)
+
+        def write_q(bufs, step):
+            bk, bv, bks, bvs = bufs
+            page, off = page_off(step)
+            return (bk.at[layer, page, off].set(kq[:, step]),
+                    bv.at[layer, page, off].set(vq[:, step]),
+                    bks.at[layer, page, off].set(ks[:, step]),
+                    bvs.at[layer, page, off].set(vs[:, step]))
+
+        bufs = (cache['pool_k'], cache['pool_v'],
+                cache['pool_k_s'], cache['pool_v_s'])
+        if S == 1:
+            bufs = write_q(bufs, 0)
+        else:
+            bufs = jax.lax.fori_loop(0, S, lambda s, b: write_q(b, s),
+                                     bufs)
+        (cache['pool_k'], cache['pool_v'],
+         cache['pool_k_s'], cache['pool_v_s']) = bufs
         return cache
 
 
@@ -105,6 +154,8 @@ def decode_attn_paged(q: jax.Array, cache: Dict, layer: int,
     qg = q[:, 0].reshape(B, KVH, G, hd).astype(F32)
     table = cache['table']
 
+    quant = bool(policy.bit)
+
     def one(c, carry):
         m, l, acc = carry
         page = jnp.clip(table[:, c], 0, policy.n_pages - 1)   # [B]
@@ -112,6 +163,10 @@ def decode_attn_paged(q: jax.Array, cache: Dict, layer: int,
         v_c = cache['pool_v'][layer][page]
         s = jnp.einsum('bkgd,bskd->bkgs', qg, k_c.astype(F32),
                        preferred_element_type=F32)
+        if quant:
+            # post-dot K scale fold: [B, ps, KVH] -> [B, KVH, 1, ps]
+            k_sc = cache['pool_k_s'][layer][page]
+            s = s * k_sc.transpose(0, 2, 1)[:, :, None, :]
         idx = c * ps + jnp.arange(ps)
         s = jnp.where(idx[None, None, None, :]
                       <= pos[:, None, None, None], s, -jnp.inf)
@@ -119,6 +174,10 @@ def decode_attn_paged(q: jax.Array, cache: Dict, layer: int,
         p = jnp.exp(s - m_new[..., None])
         corr = jnp.exp(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1)
+        if quant:
+            # fold the V scale into the probabilities pre-dot
+            v_sc = cache['pool_v_s'][layer][page]
+            p = p * v_sc.transpose(0, 2, 1)[:, :, None, :]
         acc = acc * corr[..., None] + jnp.einsum(
             'bkgs,bskd->bkgd', p, v_c.astype(F32),
             preferred_element_type=F32)

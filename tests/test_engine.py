@@ -144,3 +144,27 @@ def test_engine_paged_pool_exhaustion_queues():
     assert all(r.done and len(r.output_ids) == 5 for r in reqs)
     # pool fully returned after completion
     assert len(eng.allocator.free) == pol.n_pages - 1
+
+
+def test_engine_paged_int8_matches_contiguous_int8():
+    """int8 paged pool (post-dot scale folding) must reproduce the
+    contiguous naive-int8 engine exactly — same per-(token,head)
+    symmetric quantization, same folding, different storage layout."""
+    from llmc_tpu.serve.paged_cache import PagedKVPolicy
+    cfg = LlamaConfig(**TINY, dtype='float32')
+    m = LlamaAdapter.random(cfg, seed=12)
+    reqs_c = _reqs(n=3, seed=13, max_new=6)
+    reqs_p = _reqs(n=3, seed=13, max_new=6)
+    dense = ServingEngine(m, max_batch=2, max_len=64,
+                          kv_policy=KVCachePolicy(method='naive', bit=8,
+                                                  symmetric=True),
+                          prefill_buckets=(16, 32))
+    dense.run(reqs_c)
+    pol = PagedKVPolicy(page_size=16, n_pages=8, max_pages=4, bit=8)
+    paged = ServingEngine(m, max_batch=2, max_len=64, kv_policy=pol,
+                          prefill_buckets=(16, 32))
+    paged.run(reqs_p)
+    for rc, rp in zip(reqs_c, reqs_p):
+        assert rp.done
+        np.testing.assert_array_equal(np.asarray(rc.output_ids),
+                                      np.asarray(rp.output_ids))
