@@ -1318,6 +1318,19 @@ class LlavaAdapter(LlamaAdapter):
                                       input_ids, pixel_values, qmap=qmap,
                                       token_reduction=token_reduction)
 
+    # --- KV-cached VLM serving (serve/decode.vlm_greedy_generate) ------
+    @property
+    def lm_cfg(self):
+        return self.llava_cfg.text
+
+    def prefill_embeds(self, input_ids, qmap=None, pixel_values=None,
+                       token_reduction=None):
+        if token_reduction is None and pixel_values is not None:
+            token_reduction = getattr(self, 'token_reduction', None)
+        return self._LV.llava_prefill_embeds(
+            self.params, self.llava_cfg, input_ids, pixel_values,
+            qmap=qmap, token_reduction=token_reduction)
+
 
 @MODEL_REGISTRY.register(name='Qwen2vl')
 class Qwen2VLAdapter(LlamaAdapter):

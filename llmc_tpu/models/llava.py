@@ -341,6 +341,42 @@ def llava_embed(params: Dict, cfg: LlavaConfig, input_ids: jax.Array,
     return embeds
 
 
+# tower-side reductions act before the LM and therefore compose with
+# KV-cached prefill; LM-side methods (FastV/DART/SparseVLM/PyramidDrop/
+# ToMe/DivPrune) prune inside the LM forward and stay eager-only
+TOWER_SIDE_METHODS = ('FasterVLM', 'VisionZip', 'MustDrop')
+
+
+def llava_prefill_embeds(params: Dict, cfg: LlavaConfig,
+                         input_ids: jax.Array,
+                         pixel_values: Optional[jax.Array],
+                         qmap=None, token_reduction: Optional[dict] = None
+                         ):
+    """Merged multimodal embeddings for KV-cached serving: returns
+    (embeds [B, S', D], input_ids' [B, S']) with any tower-side token
+    reduction already applied (image span shrunk, ids rewritten).  The
+    LM stack then runs through serve/decode.forward_cached."""
+    method = (token_reduction or {}).get('method')
+    if pixel_values is None or method is None:
+        return (llava_embed(params, cfg, input_ids, pixel_values,
+                            qmap=qmap), input_ids)
+    if method not in TOWER_SIDE_METHODS:
+        raise NotImplementedError(
+            f'{method!r} prunes inside the LM forward; cached prefill '
+            f'supports tower-side methods {TOWER_SIDE_METHODS}')
+    feats = vision_features(params['vision'], cfg, pixel_values,
+                            qmap=qmap, reduction=token_reduction)
+    feats = project_features(params['projector'], cfg, feats)
+    new_n = feats.shape[1]
+    v0 = int(jnp.argmax(input_ids[0] == cfg.image_token_index))
+    v1 = v0 + cfg.image_seq_length
+    input_ids = jnp.concatenate(
+        [input_ids[:, :v0 + new_n], input_ids[:, v1:]], axis=1)
+    embeds = L.embed_apply(params, cfg.text, input_ids)
+    return (merge_embeddings(embeds, feats, input_ids,
+                             cfg.image_token_index), input_ids)
+
+
 def _qk_postrope(bp: Dict, cfg: L.LlamaConfig, x: jax.Array, cos, sin):
     """Post-rope q/k of one LM block (PyramidDrop's probe)."""
     B, S, D = x.shape

@@ -330,19 +330,22 @@ def blocks_homogeneous(blocks) -> bool:
 
 def forward_cached(params, cfg, ids, cache, policy, qmap=None,
                    stacked_blocks=None, last_only: bool = False,
-                   unroll: bool = False):
+                   unroll: bool = False, input_embeds=None):
     """Run ``ids`` (S tokens) against the cache; returns (logits, cache)
     with cache['pos'] advanced.  Pass ``stacked_blocks``
     (stack_block_params result) to use the scan-over-layers path.
     ``last_only`` projects just the final position through the lm_head
-    (prefill-for-decode: avoids the [B, S, vocab] f32 buffer)."""
-    S = ids.shape[1]
+    (prefill-for-decode: avoids the [B, S, vocab] f32 buffer).
+    ``input_embeds`` [B, S, D] replaces the token embedding — the VLM
+    prefill path (merged multimodal embeddings)."""
+    S = ids.shape[1] if input_embeds is None else input_embeds.shape[1]
     pos0 = cache['pos']
     if getattr(pos0, 'ndim', 0) == 1:    # per-slot positions [B]
         positions = pos0[:, None] + jnp.arange(S)[None, :]
     else:
         positions = pos0 + jnp.arange(S)[None, :]
-    x = L.embed_apply(params, cfg, ids, positions=positions)
+    x = input_embeds if input_embeds is not None \
+        else L.embed_apply(params, cfg, ids, positions=positions)
     cos, sin = L.rope_cos_sin(cfg, positions)
     if stacked_blocks is not None:
         n_layers = jax.tree.leaves(stacked_blocks)[0].shape[0]
@@ -457,3 +460,60 @@ def greedy_generate(model, prompt_ids: jax.Array, max_new_tokens: int,
     tok0, cache = prefill(params, stacked, prompt_ids, cache)
     toks, _ = decode(params, stacked, tok0, cache)
     return jnp.concatenate([prompt_ids, tok0[:, None], toks], axis=1)
+
+
+def vlm_greedy_generate(model, input_ids: jax.Array,
+                        max_new_tokens: int, qmap=None,
+                        kv_policy: Optional[KVCachePolicy] = None,
+                        token_reduction: Optional[dict] = None,
+                        **img_kwargs) -> jax.Array:
+    """KV-cached greedy generation for VLMs: one multimodal prefill
+    (tower + projector + merged embeddings, tower-side token reduction
+    applied) then scan-decode through the LM cache — O(S) per new token
+    instead of the eager full re-forward.
+
+    The reference has no VLM serving path (it exports); this is the
+    native analog.  Requires the adapter to expose ``prefill_embeds``
+    and ``lm_cfg`` (Llava family).  Returns [B, S' + new] token ids
+    (S' = prompt length after any reduction)."""
+    policy = kv_policy or FP_POLICY
+    embeds, ids2 = model.prefill_embeds(input_ids, qmap=qmap,
+                                        token_reduction=token_reduction,
+                                        **img_kwargs)
+    cfg = model.lm_cfg
+    params = model.params
+    B, P = ids2.shape
+    max_len = P + max_new_tokens
+    cache = policy.init_cache(B, max_len, cfg.num_key_value_heads,
+                              cfg.head_dim, cfg.num_hidden_layers,
+                              dtype=cfg.jdtype)
+    stacked = stack_block_params(params['blocks']) \
+        if blocks_homogeneous(params['blocks']) else None
+    p2 = dict(params, blocks=[]) if stacked is not None else params
+
+    @jax.jit
+    def prefill(p2, stacked, embeds, cache):
+        logits, cache = forward_cached(p2, cfg, None, cache, policy,
+                                       qmap, stacked_blocks=stacked,
+                                       last_only=True,
+                                       input_embeds=embeds)
+        return jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32), cache
+
+    @jax.jit
+    def decode(p2, stacked, tok, cache):
+        def step(carry, _):
+            tok, cache = carry
+            logits, cache = forward_cached(p2, cfg, tok[:, None], cache,
+                                           policy, qmap,
+                                           stacked_blocks=stacked)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (nxt, cache), nxt
+        (_, cache), toks = jax.lax.scan(step, (tok, cache), None,
+                                        length=max_new_tokens - 1)
+        return toks.T, cache
+
+    tok0, cache = prefill(p2, stacked, embeds, cache)
+    if max_new_tokens == 1:
+        return jnp.concatenate([ids2, tok0[:, None]], axis=1)
+    toks, _ = decode(p2, stacked, tok0, cache)
+    return jnp.concatenate([ids2, tok0[:, None], toks], axis=1)

@@ -183,3 +183,60 @@ def test_img_general_preproc():
     out = PREPROC_REGISTRY['img_general'](imgs, None, 3)
     assert len(out) == 3
     assert out[0]['pixel_values'].shape == (1, 3, 8, 8)
+
+
+def test_vlm_cached_generation_matches_eager():
+    """vlm_greedy_generate (multimodal prefill + KV-cached decode) must
+    reproduce the eager argmax re-forward loop exactly — with and
+    without a tower-side token reduction."""
+    from llmc_tpu.models.adapter import LlavaAdapter
+    from llmc_tpu.serve.decode import vlm_greedy_generate
+    cfg = {'model': {'type': 'Llava', 'arch': {
+        'vocab_size': 72, 'hidden_size': 32, 'intermediate_size': 64,
+        'num_hidden_layers': 2, 'num_attention_heads': 4,
+        'num_key_value_heads': 2, 'head_dim': 8, 'dtype': 'float32',
+        'image_size': 56, 'patch_size': 14, 'image_token_index': 70}}}
+    ad = LlavaAdapter.from_config(cfg)
+    c = ad.llava_cfg
+    rng = np.random.RandomState(5)
+    span = c.image_seq_length
+    S = span + 6
+    ids = np.full((1, S), 3, np.int32)
+    ids[0, 1:1 + span] = 70
+    px = jnp.asarray(rng.randn(1, 3, 56, 56).astype(np.float32))
+    for tr in (None, {'method': 'VisionZip', 'dominant': 4,
+                      'contextual': 2}):
+        out = vlm_greedy_generate(ad, jnp.asarray(ids), 6,
+                                  pixel_values=px, token_reduction=tr)
+        # eager loop: re-forward the growing sequence each step
+        cur = jnp.asarray(ids)
+        toks = []
+        for _ in range(6):
+            logits = ad.forward_logits(cur, None, pixel_values=px,
+                                       token_reduction=tr)
+            nxt = int(np.asarray(jnp.argmax(logits[0, -1])))
+            toks.append(nxt)
+            cur = jnp.concatenate([cur, jnp.asarray([[nxt]], cur.dtype)],
+                                  axis=1)
+        got = np.asarray(out)[0, -6:].tolist()
+        assert got == toks, (tr, got, toks)
+
+
+def test_vlm_cached_generation_rejects_lm_side_methods():
+    from llmc_tpu.models.adapter import LlavaAdapter
+    from llmc_tpu.serve.decode import vlm_greedy_generate
+    cfg = {'model': {'type': 'Llava', 'arch': {
+        'vocab_size': 72, 'hidden_size': 32, 'intermediate_size': 64,
+        'num_hidden_layers': 2, 'num_attention_heads': 4,
+        'num_key_value_heads': 2, 'head_dim': 8, 'dtype': 'float32',
+        'image_size': 28, 'patch_size': 14, 'image_token_index': 70}}}
+    ad = LlavaAdapter.from_config(cfg)
+    ids = np.full((1, 8), 3, np.int32)
+    ids[0, 1:5] = 70
+    px = jnp.asarray(np.random.RandomState(0).randn(
+        1, 3, 28, 28).astype(np.float32))
+    with pytest.raises(NotImplementedError):
+        vlm_greedy_generate(ad, jnp.asarray(ids), 2, pixel_values=px,
+                            token_reduction={'method': 'FastV',
+                                             'prune_layer': 1,
+                                             'keep': 2})
