@@ -33,17 +33,32 @@ class VQAEval:
     """
 
     def __init__(self, samples: Sequence[Dict], max_new_tokens: int = 8,
-                 substring: bool = False):
+                 substring: bool = False, use_cache: str = 'auto'):
         self.samples = list(samples)
         self.max_new_tokens = max_new_tokens
         self.substring = substring
+        # 'auto': KV-cached generation (serve/decode.vlm_greedy_generate)
+        # when the model exposes prefill_embeds and the active reduction
+        # is tower-side; falls back to the eager re-forward loop (the
+        # LM-side reduction methods prune mid-forward and need it).
+        self.use_cache = use_cache
         self.statistics: Dict = {}
+
+    def _gen_cached(self, model, qmap, ids, img_kwargs, n_new):
+        from ..serve.decode import vlm_greedy_generate
+        t = {}
+        out = vlm_greedy_generate(model, ids, n_new, qmap=qmap,
+                                  timings=t, **img_kwargs)
+        return (np.asarray(out)[0, -n_new:].tolist(), t['prefill_s'],
+                t['decode_s'])
 
     def eval(self, model, qmap=None) -> Dict:
         correct = 0
         prefill_time = 0.0
         decode_time = 0.0
         n_decode_tokens = 0
+        cached_ok = (self.use_cache in ('auto', True)
+                     and hasattr(model, 'prefill_embeds'))
         for s in self.samples:
             ids = jnp.asarray(np.asarray(s['input_ids'],
                                          np.int32)[None, :])
@@ -52,6 +67,24 @@ class VQAEval:
                           for k, v in s.items()
                           if k not in ('input_ids', 'answer_ids')}
             answer = list(np.asarray(s['answer_ids']).tolist())
+            n_new = (len(answer) if not self.substring
+                     else self.max_new_tokens)
+            if cached_ok:
+                try:
+                    toks, pt, dt = self._gen_cached(
+                        model, qmap, ids, img_kwargs,
+                        min(n_new, self.max_new_tokens))
+                    prefill_time += pt
+                    decode_time += dt
+                    n_decode_tokens += max(len(toks) - 1, 0)
+                    correct += int(_contains(toks, answer)
+                                   if self.substring
+                                   else toks[:len(answer)] == answer)
+                    continue
+                except (NotImplementedError, TypeError):
+                    # LM-side reduction, or the adapter's prefill_embeds
+                    # doesn't take this modality's kwargs: go eager
+                    cached_ok = False
             toks = []
             cur = ids
             t0 = time.time()

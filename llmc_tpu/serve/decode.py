@@ -466,6 +466,7 @@ def vlm_greedy_generate(model, input_ids: jax.Array,
                         max_new_tokens: int, qmap=None,
                         kv_policy: Optional[KVCachePolicy] = None,
                         token_reduction: Optional[dict] = None,
+                        timings: Optional[dict] = None,
                         **img_kwargs) -> jax.Array:
     """KV-cached greedy generation for VLMs: one multimodal prefill
     (tower + projector + merged embeddings, tower-side token reduction
@@ -512,8 +513,23 @@ def vlm_greedy_generate(model, input_ids: jax.Array,
                                         length=max_new_tokens - 1)
         return toks.T, cache
 
+    import time as _time
+    t0 = _time.time() if timings is not None else 0.0
     tok0, cache = prefill(p2, stacked, embeds, cache)
+    if timings is not None:
+        import numpy as _np
+        _np.asarray(tok0)                     # hard sync for the timer
+        timings['prefill_s'] = _time.time() - t0
+        t0 = _time.time()
     if max_new_tokens == 1:
-        return jnp.concatenate([ids2, tok0[:, None]], axis=1)
+        out = jnp.concatenate([ids2, tok0[:, None]], axis=1)
+        if timings is not None:
+            timings['decode_s'] = 0.0
+        return out
     toks, _ = decode(p2, stacked, tok0, cache)
-    return jnp.concatenate([ids2, tok0[:, None], toks], axis=1)
+    out = jnp.concatenate([ids2, tok0[:, None], toks], axis=1)
+    if timings is not None:
+        import numpy as _np
+        _np.asarray(out)
+        timings['decode_s'] = _time.time() - t0
+    return out
