@@ -528,7 +528,14 @@ def fastvid_prune(frames: jax.Array, frame_attn: jax.Array,
 
 def _holitom_dpc(feat: np.ndarray, cluster_num: int, k: int):
     """DPC-KNN centers + full distance matrix (holitom.py
-    cluster_dpc_knn:164-196), single batch, numpy."""
+    cluster_dpc_knn:164-196), single batch, numpy.
+
+    NOTE: dpc_cluster_merge (SparseVLM), dpc_assign (PruneVid) and this
+    are three deliberately separate variants — the reference carries a
+    distinct cluster_dpc_knn per method file with different knn-k,
+    return contracts (merge / assignments / centers+dists) and
+    jax-vs-eager execution; mirroring them keeps each method's numerics
+    pinned to its own oracle."""
     n, C = feat.shape
     d = np.linalg.norm(feat[:, None] - feat[None, :], axis=-1) \
         / (C ** 0.5)
