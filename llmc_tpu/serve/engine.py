@@ -125,6 +125,8 @@ class ServingEngine:
                                     static_argnames=('slen',))
         self._prefill_paged_jit = jax.jit(self._prefill_paged,
                                           static_argnames=('slen',))
+        self._prefill_multi_jit = jax.jit(self._prefill_multi,
+                                          static_argnames=('slen',))
         self._decode_jit = jax.jit(self._decode_step)
 
     # ------------------------------------------------------------------
@@ -211,6 +213,31 @@ class ServingEngine:
                             0.0, 1.0)[0]
         return nxt, cache
 
+    def _prefill_multi(self, params, stacked, ids, slots, p_lasts,
+                       cache, slen):
+        """Batched prefill: G same-bucket requests through ONE forward
+        ([G, slen]), every cache field scattered into the G slots —
+        TTFT under burst load divides by G vs serial admission."""
+        cfg = self.cfg
+        G = ids.shape[0]
+        local = self.policy.init_cache(
+            G, slen, cfg.num_key_value_heads, cfg.head_dim,
+            cfg.num_hidden_layers, dtype=cfg.jdtype)
+        logits, local = forward_cached(params, cfg, ids, local,
+                                       self.policy, self.qmap,
+                                       stacked_blocks=stacked,
+                                       unroll=stacked is not None)
+        cache = dict(cache)
+        for k, v in local.items():
+            if v.ndim < 3:               # pos / scalar bookkeeping
+                continue
+            cache[k] = cache[k].at[:, slots, :slen].set(
+                v.astype(cache[k].dtype))
+        last = jnp.take_along_axis(logits, p_lasts[:, None, None],
+                                   axis=1)[:, 0]             # [G, V]
+        nxt = sample_logits(last, jax.random.PRNGKey(0), 0.0, 1.0)
+        return nxt, cache
+
     # ------------------------------------------------------------------
     # host scheduler
     # ------------------------------------------------------------------
@@ -218,7 +245,18 @@ class ServingEngine:
         req.output_ids = []
         self.queue.append(req)
 
+    def _finish_admit(self, b, req, P, nxt):
+        # position = P (padding beyond P is never read: attention
+        # masks at pos, and decode overwrites from P on)
+        self.cache = dict(self.cache,
+                          pos=self.cache['pos'].at[b].set(P))
+        self.last_tok = self.last_tok.at[b].set(nxt)
+        self.active[b] = True
+        self.slot_req[b] = req
+        req.output_ids.append(int(nxt))
+
     def _admit(self):
+        pend = []                   # dense path: batch same-bucket fills
         for b in range(self.B):
             if self.active[b] or not self.queue:
                 continue
@@ -244,18 +282,38 @@ class ServingEngine:
                 nxt, self.cache = self._prefill_paged_jit(
                     self.params, self.stacked, jnp.asarray(ids), b,
                     P - 1, self.cache, slen=bucket)
+                self._finish_admit(b, req, P, nxt)
             else:
-                nxt, self.cache = self._prefill_jit(
-                    self.params, self.stacked, jnp.asarray(ids), b,
-                    P - 1, self.cache, slen=bucket)
-            # position = P (padding beyond P is never read: attention
-            # masks at pos, and decode overwrites from P on)
-            self.cache = dict(self.cache,
-                              pos=self.cache['pos'].at[b].set(P))
-            self.last_tok = self.last_tok.at[b].set(nxt)
-            self.active[b] = True
-            self.slot_req[b] = req
-            req.output_ids.append(int(nxt))
+                pend.append((b, req, P, bucket, ids))
+        # dense: one batched prefill per bucket group (pow2 sub-batches
+        # keep the compile count bounded: G in {1, 2, 4, ...})
+        by_bucket: Dict[int, list] = {}
+        for item in pend:
+            by_bucket.setdefault(item[3], []).append(item)
+        for bucket, group in by_bucket.items():
+            i = 0
+            while i < len(group):
+                g = 1
+                while g * 2 <= len(group) - i and g * 2 <= 4:
+                    g *= 2
+                sub = group[i:i + g]
+                i += g
+                if g == 1:
+                    b, req, P, _, ids = sub[0]
+                    nxt, self.cache = self._prefill_jit(
+                        self.params, self.stacked, jnp.asarray(ids), b,
+                        P - 1, self.cache, slen=bucket)
+                    self._finish_admit(b, req, P, nxt)
+                    continue
+                ids = jnp.asarray(np.concatenate([s[4] for s in sub]))
+                slots = jnp.asarray([s[0] for s in sub], jnp.int32)
+                p_lasts = jnp.asarray([s[2] - 1 for s in sub], jnp.int32)
+                nxt, self.cache = self._prefill_multi_jit(
+                    self.params, self.stacked, ids, slots, p_lasts,
+                    self.cache, slen=bucket)
+                nxt_np = np.asarray(nxt)
+                for j, (b, req, P, _, _) in enumerate(sub):
+                    self._finish_admit(b, req, P, int(nxt_np[j]))
 
     def step(self):
         """One decode step over all active slots."""

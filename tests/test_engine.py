@@ -168,3 +168,23 @@ def test_engine_paged_int8_matches_contiguous_int8():
         assert rp.done
         np.testing.assert_array_equal(np.asarray(rc.output_ids),
                                       np.asarray(rp.output_ids))
+
+
+def test_engine_batched_prefill_matches_greedy():
+    """Same-bucket admissions prefill in ONE batched forward
+    (_prefill_multi); outputs must equal per-request greedy decode."""
+    cfg = LlamaConfig(**TINY, dtype='float32')
+    m = LlamaAdapter.random(cfg, seed=15)
+    rng = np.random.RandomState(17)
+    # four requests in the same 16-bucket -> one G=4 batched prefill
+    reqs = [Request(uid=i, prompt_ids=rng.randint(0, 128, (9 + i,)),
+                    max_new_tokens=5) for i in range(4)]
+    eng = ServingEngine(m, max_batch=4, max_len=48,
+                        prefill_buckets=(16, 32))
+    eng.run(reqs)
+    for r in reqs:
+        ref = greedy_generate(m, jnp.asarray(
+            np.asarray(r.prompt_ids)[None]), 5)
+        np.testing.assert_array_equal(
+            np.asarray(r.output_ids),
+            np.asarray(ref)[0, len(r.prompt_ids):])
