@@ -157,8 +157,47 @@ def _cfg_rtn(ckpt, calib_dir, eval_dir):
     }
 
 
+def _cfg_smoothquant(ckpt, calib_dir, eval_dir):
+    return {
+        'base': {'seed': 42},
+        'model': {'type': 'Opt', 'path': ckpt, 'torch_dtype': 'auto'},
+        'calib': {'name': 'pileval', 'download': False, 'path': calib_dir,
+                  'n_samples': 8, 'bs': 1, 'seq_len': 32,
+                  'preproc': 'pileval_smooth', 'seed': 42},
+        'eval': {'eval_pos': ['pretrain', 'transformed', 'fake_quant'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'quant': {'method': 'SmoothQuant',
+                  'weight': {'bit': 8, 'symmetric': True,
+                             'granularity': 'per_channel'},
+                  'act': {'bit': 8, 'symmetric': True,
+                          'granularity': 'per_token'},
+                  'special': {'alpha': 0.5}},
+    }
+
+
+def _cfg_hqq(ckpt, calib_dir, eval_dir):
+    return {
+        'base': {'seed': 42},
+        'model': {'type': 'Opt', 'path': ckpt, 'torch_dtype': 'auto'},
+        'calib': {'name': 'pileval', 'download': False, 'path': calib_dir,
+                  'n_samples': 4, 'bs': -1, 'seq_len': 32,
+                  'preproc': 'pileval_awq', 'seed': 42},
+        'eval': {'eval_pos': ['pretrain', 'fake_quant'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'quant': {'method': 'HQQ',
+                  'weight': {'bit': 4, 'symmetric': False,
+                             'granularity': 'per_group',
+                             'group_size': 32, 'round_zp': False},
+                  'special': {'lp_norm': 0.7, 'beta': 10.0,
+                              'kappa': 1.01, 'iters': 20, 'axis': 1}},
+    }
+
+
 CONFIGS = {'AWQ-W4A16': _cfg_awq, 'GPTQ-W4A16': _cfg_gptq,
-           'RTN-W4A16': _cfg_rtn}
+           'RTN-W4A16': _cfg_rtn, 'SmoothQuant-W8A8': _cfg_smoothquant,
+           'HQQ-W4A16': _cfg_hqq}
 
 
 def run_reference(cfg_path, out_path):
