@@ -12,8 +12,9 @@ ci_check) and diff the PPLs at every eval position.
 Usage:
     python tools/parity.py --workdir /tmp/parity --out PARITY.md
 
-Methods covered: AWQ W4A16 (ci_check/awq_w4a16_fakequant_eval.yml shape)
-and GPTQ W4A16 (ci_check/gptq_w_only.yml shape).
+Methods covered: AWQ W4A16 (ci_check/awq_w4a16_fakequant_eval.yml
+shape), GPTQ W4A16 (ci_check/gptq_w_only.yml shape), RTN W4A16,
+SmoothQuant W8A8 and HQQ W4A16.
 """
 
 import argparse
