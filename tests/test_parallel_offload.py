@@ -114,3 +114,43 @@ def test_hybrid_mesh_and_host_sharding():
     assert host_shard_batches(batches, 0, 2) == [0, 2, 4, 6, 8]
     assert host_shard_batches(batches, 1, 2) == [1, 3, 5, 7, 9]
     assert host_shard_batches(batches) == batches  # 1-process world
+
+
+def test_quantized_psum_close_to_exact():
+    """EQuARX-style int8 all-reduce (parallel/collectives.py): matches
+    the exact psum within per-shard int8 quantization error and moves
+    1 byte/element on the wire."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from llmc_tpu.parallel.collectives import quantized_pmean, \
+        quantized_psum
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devs), ('dp',))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 64, 32).astype(np.float32)) * 0.01
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=P('dp'),
+                       out_specs=P(), check_rep=False)
+    def qsum(xs):
+        return quantized_psum(xs[0], 'dp')[None][0]
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=P('dp'),
+                       out_specs=P(), check_rep=False)
+    def esum(xs):
+        return jax.lax.psum(xs[0], 'dp')[None][0]
+
+    got = np.asarray(qsum(x))
+    ref = np.asarray(esum(x))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-2, rel
+    # mean variant
+    @functools.partial(shard_map, mesh=mesh, in_specs=P('dp'),
+                       out_specs=P(), check_rep=False)
+    def qmean(xs):
+        return quantized_pmean(xs[0], 'dp')[None][0]
+    gm = np.asarray(qmean(x))
+    np.testing.assert_allclose(gm, ref / 8, rtol=0, atol=np.abs(
+        ref / 8).max() * 2e-2 + 1e-6)
