@@ -1691,6 +1691,7 @@ class LlavaOneVisionAdapter(LlamaAdapter):
             image_size=v.get('image_size', 384),
             patch_size=v.get('patch_size', 14),
             image_token_index=hf.get('image_token_index', 151646),
+            video_token_index=hf.get('video_token_index', 151647),
             vision_feature_layer=hf.get('vision_feature_layer', -1),
             vision_feature_select_strategy=hf.get(
                 'vision_feature_select_strategy', 'full'),
@@ -1723,7 +1724,8 @@ class LlavaOneVisionAdapter(LlamaAdapter):
             varch.get('num_hidden_layers', 2),
             varch.get('num_attention_heads', 2))
         extra = {k: arch.pop(k) for k in
-                 ('image_size', 'patch_size', 'image_token_index')
+                 ('image_size', 'patch_size', 'image_token_index',
+                  'video_token_index')
                  if k in arch}
         cfg = OV.LlavaOnevisionConfig(text=L.LlamaConfig(**arch),
                                       vision=vcfg, **extra)
@@ -1807,10 +1809,15 @@ class LlavaOneVisionAdapter(LlamaAdapter):
         return xs, kws
 
     def forward_logits(self, input_ids, qmap=None, pixel_values=None,
-                       image_sizes=None):
-        return self._OV.onevision_forward(self.params, self.vl_cfg,
-                                          input_ids, pixel_values,
-                                          image_sizes, qmap=qmap)
+                       image_sizes=None, pixel_values_videos=None,
+                       token_reduction=None):
+        if token_reduction is None and pixel_values_videos is not None:
+            # installed by the TokenReduction ALGO (sparse: config)
+            token_reduction = getattr(self, 'token_reduction', None)
+        return self._OV.onevision_forward(
+            self.params, self.vl_cfg, input_ids, pixel_values,
+            image_sizes, pixel_values_videos=pixel_values_videos,
+            qmap=qmap, token_reduction=token_reduction)
 
 
 @MODEL_REGISTRY.register(name='Qwen')

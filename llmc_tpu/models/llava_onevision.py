@@ -36,6 +36,7 @@ class LlavaOnevisionConfig:
     patch_size: int = 14
     num_channels: int = 3
     image_token_index: int = 151646
+    video_token_index: int = 151647
     vision_feature_layer: int = -1
     vision_feature_select_strategy: str = 'full'
     vision_aspect_ratio: str = 'anyres_max_9'
@@ -201,18 +202,93 @@ def image_features(params: Dict, cfg: LlavaOnevisionConfig,
                                params['image_newline'])
 
 
+def video_features(params: Dict, cfg: LlavaOnevisionConfig,
+                   pixel_values_videos: jax.Array, qmap=None,
+                   reduction: Optional[dict] = None) -> jax.Array:
+    """OneVision video branch (modeling_llava_onevision.py
+    get_video_features + apply_pooling + the forward's video splice):
+    per-frame tower features -> projector -> 2x bilinear pool per frame
+    (ceil(side/2), half-pixel centers = torch interpolate default) ->
+    frames concatenated + ONE image_newline appended.
+
+    ``reduction`` applies DyCoke / PruneVid on the per-frame pooled
+    features (the reference hooks the same point for its video-LLM
+    token-reduction methods)."""
+    B, F_, C, H, W = pixel_values_videos.shape
+    f = vision_features(params['vision'], cfg,
+                        pixel_values_videos.reshape(B * F_, C, H, W),
+                        qmap=qmap)
+    f = project_features(params['projector'], cfg, f)
+    side = cfg.patches_per_side
+    D = f.shape[-1]
+    g = f.reshape(B * F_, side, side, D)
+    half = math.ceil(side / 2)
+    # torch F.interpolate(bilinear) does NOT antialias; jax.image.resize
+    # defaults to antialias=True on downsampling — disable for parity
+    g = jax.image.resize(g.astype(F32), (B * F_, half, half, D),
+                         method='bilinear',
+                         antialias=False).astype(f.dtype)
+    N2 = half * half
+    feats = g.reshape(B, F_ * N2, D)
+    method = (reduction or {}).get('method')
+    if method == 'DyCoke':
+        from ..compression.token_reduction import dycoke_ttm
+        assert B == 1, 'DyCoke wiring supports batch 1 (reference too)'
+        feats = dycoke_ttm(feats[0], N2,
+                           float(reduction.get('merging_ratio', 0.3))
+                           )[None]
+    elif method == 'PruneVid':
+        from ..compression.token_reduction import prunevid_merge
+        assert B == 1, 'PruneVid wiring supports batch 1 (reference too)'
+        feats = prunevid_merge(
+            feats[0].reshape(F_, N2, -1),
+            float(reduction.get('taus', 0.8)),
+            float(reduction.get('cluster_ratios', 0.5)),
+            float(reduction.get('temporal_segment_ratios', 0.25)))[None]
+    elif method is not None:
+        raise NotImplementedError(
+            f'token-reduction {method!r} is not wired for OneVision '
+            f'video (supported: DyCoke, PruneVid)')
+    nl = jnp.broadcast_to(params['image_newline'][None, None],
+                          (B, 1, D)).astype(feats.dtype)
+    return jnp.concatenate([feats, nl], axis=1)
+
+
 # --------------------------------------------------------------------------
-# Full forward (one image per sample)
+# Full forward (one image per sample, and/or one video per sample)
 # --------------------------------------------------------------------------
 
 def onevision_forward(params: Dict, cfg: LlavaOnevisionConfig,
                       input_ids: jax.Array,
                       pixel_values: Optional[jax.Array] = None,
                       image_sizes: Optional[Sequence[Tuple[int, int]]]
-                      = None, qmap=None) -> jax.Array:
+                      = None, pixel_values_videos: Optional[jax.Array]
+                      = None, qmap=None,
+                      token_reduction: Optional[dict] = None
+                      ) -> jax.Array:
     from .llava import merge_embeddings
     tc = cfg.text
-    x = L.embed_apply(params, tc, input_ids)
+    if pixel_values_videos is not None and token_reduction:
+        # reduced video span: rewrite the ids like the image paths do
+        vfeats = video_features(params, cfg, pixel_values_videos,
+                                qmap=qmap, reduction=token_reduction)
+        vt = cfg.video_token_index
+        full = int(jnp.sum(input_ids[0] == vt))
+        new_n = vfeats.shape[1]
+        if new_n != full:
+            v0 = int(jnp.argmax(input_ids[0] == vt))
+            input_ids = jnp.concatenate(
+                [input_ids[:, :v0 + new_n],
+                 input_ids[:, v0 + full:]], axis=1)
+        x = L.embed_apply(params, tc, input_ids)
+        x = merge_embeddings(x, vfeats, input_ids, vt)
+    else:
+        x = L.embed_apply(params, tc, input_ids)
+        if pixel_values_videos is not None:
+            vfeats = video_features(params, cfg, pixel_values_videos,
+                                    qmap=qmap)
+            x = merge_embeddings(x, vfeats, input_ids,
+                                 cfg.video_token_index)
     if pixel_values is not None:
         B = input_ids.shape[0]
         feats = [image_features(params, cfg, pixel_values[b],

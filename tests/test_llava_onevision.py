@@ -111,3 +111,75 @@ def test_onevision_two_modality_pipeline(tiny_onevision_dir):
     }
     res = run_pipeline(config)
     assert res['model'] is not None
+
+
+VID_TOK = 127
+N_VID_FRAMES = 3
+N_VID_TOK = N_VID_FRAMES * (SIDE // 2) ** 2 + 1   # pooled + newline
+
+
+def _tiny_hf_onevision_video():
+    m = _tiny_hf_onevision()
+    m.config.video_token_index = VID_TOK
+    return m
+
+
+def test_onevision_video_parity(tiny_onevision_dir):
+    """Video branch vs the HF oracle: per-frame tower features, 2x
+    bilinear pooling, frame concat + ONE image_newline
+    (modeling_llava_onevision.py get_video_features/apply_pooling)."""
+    path, hf_model = tiny_onevision_dir
+    hf_model.config.video_token_index = VID_TOK
+    from llmc_tpu.models.adapter import LlavaOneVisionAdapter
+    ours = LlavaOneVisionAdapter.from_pretrained(path, dtype=jnp.float32)
+    ours.vl_cfg = __import__('dataclasses').replace(
+        ours.vl_cfg, video_token_index=VID_TOK)
+    rng = np.random.RandomState(3)
+    S = N_VID_TOK + 6
+    ids = rng.randint(0, 120, size=(1, S))
+    ids[:, 1:1 + N_VID_TOK] = VID_TOK
+    vids = rng.randn(1, N_VID_FRAMES, 3, IMG, IMG).astype(np.float32)
+    with torch.no_grad():
+        ref = hf_model(input_ids=torch.from_numpy(ids),
+                       pixel_values_videos=torch.from_numpy(vids)
+                       ).logits.numpy()
+    got = np.asarray(ours.forward_logits(
+        jnp.asarray(ids), None,
+        pixel_values_videos=jnp.asarray(vids)))
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+    assert np.mean(np.argmax(got, -1) == np.argmax(ref, -1)) > 0.99
+
+
+def test_onevision_video_token_reduction():
+    """DyCoke / PruneVid wired into the OneVision video branch shrink
+    the sequence; unsupported methods fail loudly."""
+    from llmc_tpu.models.adapter import LlavaOneVisionAdapter
+    cfg = {'model': {'type': 'LlavaOneVision', 'arch': {
+        'vocab_size': 128, 'hidden_size': 64, 'intermediate_size': 128,
+        'num_hidden_layers': 2, 'num_attention_heads': 4,
+        'num_key_value_heads': 2, 'head_dim': 16, 'dtype': 'float32',
+        'image_size': IMG, 'patch_size': PATCH,
+        'image_token_index': IMG_TOK, 'video_token_index': VID_TOK,
+        'vision': {'hidden_size': 32, 'intermediate_size': 64,
+                   'num_hidden_layers': 2, 'num_attention_heads': 2}}}}
+    ad = LlavaOneVisionAdapter.from_config(cfg)
+    rng = np.random.RandomState(4)
+    F_ = 4
+    n_vid = F_ * (SIDE // 2) ** 2 + 1
+    S = n_vid + 5
+    ids = np.full((1, S), 3, np.int32)
+    ids[0, 1:1 + n_vid] = VID_TOK
+    one = rng.randn(1, 1, 3, IMG, IMG).astype(np.float32)
+    vids = np.repeat(one, F_, axis=1)      # identical frames
+    out = ad.forward_logits(
+        jnp.asarray(ids), None, pixel_values_videos=jnp.asarray(vids),
+        token_reduction={'method': 'PruneVid', 'taus': 0.5,
+                         'cluster_ratios': 0.5,
+                         'temporal_segment_ratios': 0.25})
+    assert out.shape[1] < S                # sequence shrank
+    with pytest.raises(NotImplementedError):
+        ad.forward_logits(
+            jnp.asarray(ids), None,
+            pixel_values_videos=jnp.asarray(vids),
+            token_reduction={'method': 'FastV', 'prune_layer': 1,
+                             'keep': 2})
