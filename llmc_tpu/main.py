@@ -60,9 +60,9 @@ def _vqa_samples(model, batches, ans_len: int):
         # (non-batch-major kwargs like qwen2vl pixel_patches pass
         # through — those sources are bs=1)
         bs = int(np.asarray(b['input_ids']).shape[0])
-        img_kwargs = {k: (np.asarray(v)[:1] if bs > 1 and isinstance(
-            v, np.ndarray) and np.asarray(v).ndim > 1
-            and np.asarray(v).shape[0] == bs else v)
+        img_kwargs = {
+            k: (v[:1] if bs > 1 and isinstance(v, np.ndarray)
+                and v.ndim > 1 and v.shape[0] == bs else v)
             for k, v in b.items()
             if k not in ('input_ids', 'attention_mask')}
         cur = jnp.asarray(np.asarray(b['input_ids'], np.int32))[:1]

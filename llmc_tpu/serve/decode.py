@@ -59,6 +59,34 @@ def _flash_chunk(smax: int, kvh: int, hd: int) -> int:
     return _pick_chunk(smax, kvh, hd)
 
 
+def online_softmax_step(qg, k_c, v_c, k_sc, v_sc, idx, pos, carry):
+    """One online-softmax accumulation step over a KV chunk, shared by
+    the contiguous chunked reader and the paged-pool reader.
+
+    qg [B, KVH, G, hd] f32 pre-scaled; k_c/v_c [B, C, KVH, hd] (values,
+    or int codes when the per-(token,head) scales k_sc/v_sc [B, C, KVH]
+    are given: codes go straight to the MXU and the K scale folds into
+    the scores, the V scale into the probabilities — a [B,C,KVH]
+    multiply instead of an hd-wide dequant); idx [C] absolute positions
+    for masking against per-slot ``pos`` [B]."""
+    m, l, acc = carry
+    s = jnp.einsum('bkgd,bskd->bkgs', qg, k_c.astype(F32),
+                   preferred_element_type=F32)       # [B, KVH, G, C]
+    if k_sc is not None:
+        s = s * k_sc.transpose(0, 2, 1)[:, :, None, :]
+    s = jnp.where(idx[None, None, None, :]
+                  <= pos[:, None, None, None], s, -jnp.inf)
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+    p = jnp.exp(s - m_new[..., None])
+    corr = jnp.exp(m - m_new)
+    l = l * corr + jnp.sum(p, axis=-1)
+    if v_sc is not None:
+        p = p * v_sc.transpose(0, 2, 1)[:, :, None, :]
+    acc = acc * corr[..., None] + jnp.einsum(
+        'bkgs,bskd->bkgd', p, v_c.astype(F32), preferred_element_type=F32)
+    return m_new, l, acc
+
+
 def _decode_attn_chunked(q, cache, layer, policy, cfg, chunk: int):
     """q: [B, 1, H, hd] (pre-scaled).  Returns ctx [B, 1, H, hd].
 
@@ -107,27 +135,11 @@ def _decode_attn_chunked(q, cache, layer, policy, cfg, chunk: int):
               (cache['v_s'], cache.get('v_z')))
 
     def one(off, carry):
-        m, l, acc = carry
         k_c, k_sc, _ = read_chunk(kbuf, ks, kz, off)  # [B, chunk, KVH, hd]
         v_c, v_sc, _ = read_chunk(vbuf, vs, vz, off)
-        s = jnp.einsum('bkgd,bskd->bkgs', qg, k_c,
-                       preferred_element_type=F32)   # [B, KVH, G, chunk]
-        if k_sc is not None:
-            # codes went straight to the MXU; fold the scale into scores
-            s = s * k_sc.transpose(0, 2, 1)[:, :, None, :]
         idx = off + jnp.arange(chunk)
-        s = jnp.where(idx[None, None, None, :]
-                      <= pos[:, None, None, None], s, -jnp.inf)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
-        p = jnp.exp(s - m_new[..., None])
-        corr = jnp.exp(m - m_new)
-        l = l * corr + jnp.sum(p, axis=-1)
-        if v_sc is not None:
-            # fold the V scale into the probabilities pre-dot
-            p = p * v_sc.transpose(0, 2, 1)[:, :, None, :]
-        acc = acc * corr[..., None] + jnp.einsum(
-            'bkgs,bskd->bkgd', p, v_c, preferred_element_type=F32)
-        return m_new, l, acc
+        return online_softmax_step(qg, k_c, v_c, k_sc, v_sc, idx, pos,
+                                   carry)
 
     def body(it, carry):
         return one(it * chunk, carry)

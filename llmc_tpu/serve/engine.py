@@ -149,18 +149,25 @@ class ServingEngine:
                                           pos_before))
         return nxt, cache
 
+    def _local_prefill(self, params, stacked, ids, slen, batch,
+                       policy=None):
+        """Run a prefill on a fresh local cache (shared by the three
+        prefill variants)."""
+        cfg = self.cfg
+        policy = policy or self.policy
+        local = policy.init_cache(
+            batch, slen, cfg.num_key_value_heads, cfg.head_dim,
+            cfg.num_hidden_layers, dtype=cfg.jdtype)
+        return forward_cached(params, cfg, ids, local, policy,
+                              self.qmap, stacked_blocks=stacked,
+                              unroll=stacked is not None)
+
     def _prefill(self, params, stacked, ids, slot, p_last, cache, slen):
         """One request ([1, slen]) through the full graph on a local
         cache, then splice EVERY cache field into the slot (policy-
         agnostic: quantized codes/scales copy the same way as FP)."""
-        cfg = self.cfg
-        local = self.policy.init_cache(
-            1, slen, cfg.num_key_value_heads, cfg.head_dim,
-            cfg.num_hidden_layers, dtype=cfg.jdtype)
-        logits, local = forward_cached(params, cfg, ids, local,
-                                       self.policy, self.qmap,
-                                       stacked_blocks=stacked,
-                                       unroll=stacked is not None)
+        logits, local = self._local_prefill(params, stacked, ids,
+                                            slen, 1)
         for k, v in local.items():
             if v.ndim < 3:           # pos / scalar bookkeeping
                 continue
@@ -178,12 +185,8 @@ class ServingEngine:
         into the slot's pool pages (paged_cache.py).  The page table row
         was written by the allocator before this call."""
         cfg = self.cfg
-        local = FP.init_cache(1, slen, cfg.num_key_value_heads,
-                              cfg.head_dim, cfg.num_hidden_layers,
-                              dtype=cfg.jdtype)
-        logits, local = forward_cached(params, cfg, ids, local, FP,
-                                       self.qmap, stacked_blocks=stacked,
-                                       unroll=stacked is not None)
+        logits, local = self._local_prefill(params, stacked, ids, slen,
+                                            1, policy=FP)
         ps = self.policy.page_size
         n_loc = slen // ps
         Lc = cfg.num_hidden_layers
@@ -218,15 +221,8 @@ class ServingEngine:
         """Batched prefill: G same-bucket requests through ONE forward
         ([G, slen]), every cache field scattered into the G slots —
         TTFT under burst load divides by G vs serial admission."""
-        cfg = self.cfg
-        G = ids.shape[0]
-        local = self.policy.init_cache(
-            G, slen, cfg.num_key_value_heads, cfg.head_dim,
-            cfg.num_hidden_layers, dtype=cfg.jdtype)
-        logits, local = forward_cached(params, cfg, ids, local,
-                                       self.policy, self.qmap,
-                                       stacked_blocks=stacked,
-                                       unroll=stacked is not None)
+        logits, local = self._local_prefill(params, stacked, ids,
+                                            slen, ids.shape[0])
         cache = dict(cache)
         for k, v in local.items():
             if v.ndim < 3:               # pos / scalar bookkeeping

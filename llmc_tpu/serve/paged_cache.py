@@ -157,31 +157,15 @@ def decode_attn_paged(q: jax.Array, cache: Dict, layer: int,
     quant = bool(policy.bit)
 
     def one(c, carry):
-        m, l, acc = carry
+        from .decode import online_softmax_step
         page = jnp.clip(table[:, c], 0, policy.n_pages - 1)   # [B]
         k_c = cache['pool_k'][layer][page]     # [B, ps, KVH, hd]
         v_c = cache['pool_v'][layer][page]
-        s = jnp.einsum('bkgd,bskd->bkgs', qg, k_c.astype(F32),
-                       preferred_element_type=F32)
-        if quant:
-            # post-dot K scale fold: [B, ps, KVH] -> [B, KVH, 1, ps]
-            k_sc = cache['pool_k_s'][layer][page]
-            s = s * k_sc.transpose(0, 2, 1)[:, :, None, :]
+        k_sc = cache['pool_k_s'][layer][page] if quant else None
+        v_sc = cache['pool_v_s'][layer][page] if quant else None
         idx = c * ps + jnp.arange(ps)
-        s = jnp.where(idx[None, None, None, :]
-                      <= pos[:, None, None, None], s, -jnp.inf)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
-        p = jnp.exp(s - m_new[..., None])
-        corr = jnp.exp(m - m_new)
-        l = l * corr + jnp.sum(p, axis=-1)
-        if quant:
-            # fold the V scale into the probabilities pre-dot
-            v_sc = cache['pool_v_s'][layer][page]
-            p = p * v_sc.transpose(0, 2, 1)[:, :, None, :]
-        acc = acc * corr[..., None] + jnp.einsum(
-            'bkgs,bskd->bkgd', p, v_c.astype(F32),
-            preferred_element_type=F32)
-        return m_new, l, acc
+        return online_softmax_step(qg, k_c, v_c, k_sc, v_sc, idx, pos,
+                                   carry)
 
     m0 = jnp.full((B, KVH, G), -jnp.inf, F32)
     l0 = jnp.zeros((B, KVH, G), F32)
