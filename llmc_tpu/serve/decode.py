@@ -70,7 +70,11 @@ def online_softmax_step(qg, k_c, v_c, k_sc, v_sc, idx, pos, carry):
     multiply instead of an hd-wide dequant); idx [C] absolute positions
     for masking against per-slot ``pos`` [B]."""
     m, l, acc = carry
-    s = jnp.einsum('bkgd,bskd->bkgs', qg, k_c.astype(F32),
+    # MIXED-dtype einsums on purpose: bf16/int8 chunks feed the MXU
+    # directly with f32 accumulation (preferred_element_type); an
+    # explicit astype(F32) here materializes f32 chunk copies and forces
+    # slow f32 MXU passes in the decode hot loop
+    s = jnp.einsum('bkgd,bskd->bkgs', qg, k_c,
                    preferred_element_type=F32)       # [B, KVH, G, C]
     if k_sc is not None:
         s = s * k_sc.transpose(0, 2, 1)[:, :, None, :]
@@ -83,7 +87,7 @@ def online_softmax_step(qg, k_c, v_c, k_sc, v_sc, idx, pos, carry):
     if v_sc is not None:
         p = p * v_sc.transpose(0, 2, 1)[:, :, None, :]
     acc = acc * corr[..., None] + jnp.einsum(
-        'bkgs,bskd->bkgd', p, v_c.astype(F32), preferred_element_type=F32)
+        'bkgs,bskd->bkgd', p, v_c, preferred_element_type=F32)
     return m_new, l, acc
 
 
