@@ -165,6 +165,27 @@ class CalibDataset:
                                 'pixel_values': px.astype(np.float32),
                                 'image_sizes': [(img_size, img_size)]})
             return batches, None
+        if self.name == 'synthetic_onevision_video':
+            # OneVision video batches: [1, F, C, H, W] frames; ids carry
+            # the pooled video span F*(side/2)^2 + 1 newline placeholder
+            rng = np.random.RandomState(self.seed + rank)
+            vocab = int(self.cfg.get('vocab_size', 32000))
+            vid_tok = int(self.cfg.get('video_token', vocab))
+            img_size = int(self.cfg.get('image_size', 16))
+            patch = int(self.cfg.get('patch_size', 4))
+            frames = int(self.cfg.get('num_frames', 3))
+            chans = int(self.cfg.get('num_channels', 3))
+            half = -(-(img_size // patch) // 2)
+            span = frames * half * half + 1
+            batches = []
+            for _ in range(self.n_samples):
+                ids = rng.randint(0, vocab, size=(1, self.seq_len))
+                ids[0, 1:1 + span] = vid_tok
+                px = rng.randn(1, frames, chans, img_size, img_size)
+                batches.append({'input_ids': ids.astype(np.int32),
+                                'pixel_values_videos':
+                                    px.astype(np.float32)})
+            return batches, None
         if self.name == 'synthetic_img':
             # vision-only batches (ViT calib; reference img preprocs)
             rng = np.random.RandomState(self.seed + rank)
