@@ -112,6 +112,11 @@ def measure_sustained_bw(steps: int = 512) -> float:
 
 
 def main():
+    # LLMC_PLATFORM=cpu: smoke the bench logic without the TPU tunnel
+    # (the shell env is scrubbed on this box; in-process is the only
+    # reliable platform switch — see llmc_tpu/main.py)
+    from llmc_tpu.main import _apply_platform_env
+    _apply_platform_env()
     cfg = tiny() if SMALL else llama2_7b()
     # throughput-optimal serving batch: decode step time is nearly flat
     # in B up to the MXU's 128-row tile (weight streaming + MXU passes
