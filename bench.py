@@ -111,12 +111,35 @@ def measure_sustained_bw(steps: int = 512) -> float:
     return K * N * 2 / dt
 
 
+def _probe_backend(timeout_s: int = 180) -> None:
+    """Fail fast (exit 2, clear stderr) when the TPU tunnel is down —
+    jax backend init HANGS in-process on an unavailable tunnel, which
+    would otherwise stall the whole bench run with no diagnostic."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, '-c',
+             'import jax; jax.devices(); print("ok")'],
+            timeout=timeout_s, capture_output=True, text=True)
+        if 'ok' in r.stdout:
+            return
+        msg = (r.stderr or r.stdout).strip()[-400:]
+    except subprocess.TimeoutExpired:
+        msg = f'backend init hung for {timeout_s}s'
+    print(f'BENCH ABORT: TPU backend unavailable ({msg})',
+          file=sys.stderr)
+    sys.exit(2)
+
+
 def main():
     # LLMC_PLATFORM=cpu: smoke the bench logic without the TPU tunnel
     # (the shell env is scrubbed on this box; in-process is the only
     # reliable platform switch — see llmc_tpu/main.py)
     from llmc_tpu.main import _apply_platform_env
     _apply_platform_env()
+    if not os.environ.get('LLMC_PLATFORM'):
+        _probe_backend()
     cfg = tiny() if SMALL else llama2_7b()
     # throughput-optimal serving batch: decode step time is nearly flat
     # in B up to the MXU's 128-row tile (weight streaming + MXU passes
