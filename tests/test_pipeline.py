@@ -292,3 +292,24 @@ def test_shadowkv_outlier_heuristic_exact():
         // pol.chunk_size
     n_sel = pol.sparse_budget // pol.chunk_size  # first n_sel are landmark-selected
     assert (sel_chunks[:, :min(n_sel, sel_chunks.shape[1] - 2)] != 3).all()
+
+
+def test_bench_small_cpu_smoke():
+    """bench.py's program (packed model, donated cache, prefill+decode
+    scans, roofline math) runs end-to-end in LLMC_PLATFORM=cpu small
+    mode and emits the one-line JSON contract."""
+    import json
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, LLMC_PLATFORM='cpu', BENCH_SMALL='1',
+               BENCH_BATCH='2', BENCH_STEPS='4')
+    r = subprocess.run([sys.executable, 'bench.py'], cwd=repo, env=env,
+                       capture_output=True, text=True, timeout=900)
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith('{')]
+    assert lines, r.stderr[-500:]
+    out = json.loads(lines[-1])
+    for k in ('metric', 'value', 'unit', 'vs_baseline', 'ttft_p50_ms'):
+        assert k in out, out
+    assert out['value'] > 0
