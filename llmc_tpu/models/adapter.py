@@ -28,6 +28,16 @@ from . import llama as L
 F32 = jnp.float32
 
 
+def _config_dtype(s: str):
+    """Normalize HF-config dtype strings ('torch.float16', 'auto', ...)
+    to a jnp dtype; fp16 maps to bf16 (no fp16 matmuls on TPU)."""
+    s = str(s).replace('torch.', '')
+    if s == 'auto':
+        s = 'float32'
+    return jnp.dtype(s.replace('float16', 'bfloat16')
+                     .replace('bbfloat16', 'bfloat16'))
+
+
 class QMap:
     """Hashable linear-path -> LinearQcfg policy (the functional analog of
     which module class each linear currently is)."""
@@ -167,10 +177,9 @@ class LlamaAdapter(BaseAdapter):
         or model.arch (inline architecture for synthetic runs)."""
         m = config['model']
         if m.get('path'):
-            return cls.from_pretrained(m['path'],
-                                       dtype=jnp.dtype(m.get(
-                                           'torch_dtype', 'bfloat16')
-                                           .replace('float16', 'bfloat16')))
+            return cls.from_pretrained(
+                m['path'], dtype=_config_dtype(m.get('torch_dtype',
+                                                     'bfloat16')))
         arch = dict(m.get('arch', {}))
         cfg = cls.config_cls(**arch)
         key = jax.random.PRNGKey(int(m.get('seed', 0)))

@@ -196,9 +196,28 @@ def _cfg_hqq(ckpt, calib_dir, eval_dir):
     }
 
 
+def _cfg_quarot(ckpt, calib_dir, eval_dir):
+    return {
+        'base': {'seed': 42},
+        'model': {'type': 'Llama', 'path': ckpt,
+                  'torch_dtype': 'torch.float32'},
+        'eval': {'eval_pos': ['pretrain', 'transformed', 'fake_quant'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'quant': {'method': 'Quarot',
+                  'weight': {'bit': 4, 'symmetric': False,
+                             'granularity': 'per_channel'},
+                  'special': {'rotate_mode': 'hadamard',
+                              'online_rotate': False,
+                              'fp32_had': True}},
+    }
+
+
+_cfg_quarot.arch = 'llama'
+
 CONFIGS = {'AWQ-W4A16': _cfg_awq, 'GPTQ-W4A16': _cfg_gptq,
            'RTN-W4A16': _cfg_rtn, 'SmoothQuant-W8A8': _cfg_smoothquant,
-           'HQQ-W4A16': _cfg_hqq}
+           'HQQ-W4A16': _cfg_hqq, 'QuaRot-W4': _cfg_quarot}
 
 
 def run_reference(cfg_path, out_path):
@@ -235,11 +254,18 @@ def run_ours(cfg_path):
 def run_parity(workdir, methods=None):
     import yaml
     ckpt, calib_dir, eval_dir = build_artifacts(workdir)
+    ckpt_llama = None
     rows = []
     for name, mk in CONFIGS.items():
         if methods and name not in methods:
             continue
-        cfg = mk(ckpt, calib_dir, eval_dir)
+        if getattr(mk, 'arch', 'opt') == 'llama':
+            if ckpt_llama is None:
+                ckpt_llama, _, _ = build_artifacts(
+                    os.path.join(workdir, 'llama'), arch='llama')
+            cfg = mk(ckpt_llama, calib_dir, eval_dir)
+        else:
+            cfg = mk(ckpt, calib_dir, eval_dir)
         cfg_path = os.path.join(workdir, f'{name}.yml')
         with open(cfg_path, 'w') as f:
             yaml.safe_dump(cfg, f)
