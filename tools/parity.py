@@ -215,9 +215,33 @@ def _cfg_quarot(ckpt, calib_dir, eval_dir):
 
 _cfg_quarot.arch = 'llama'
 
+
+def _cfg_osplus(ckpt, calib_dir, eval_dir):
+    return {
+        'base': {'seed': 42},
+        'model': {'type': 'Llama', 'path': ckpt,
+                  'torch_dtype': 'torch.float32'},
+        'calib': {'name': 'pileval', 'download': False, 'path': calib_dir,
+                  'n_samples': 8, 'bs': 1, 'seq_len': 32,
+                  'preproc': 'pileval_smooth', 'seed': 42},
+        'eval': {'eval_pos': ['pretrain', 'transformed', 'fake_quant'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'quant': {'method': 'OsPlus',
+                  'weight': {'bit': 8, 'symmetric': True,
+                             'granularity': 'per_channel'},
+                  'act': {'bit': 8, 'symmetric': True,
+                          'granularity': 'per_token'},
+                  'special': {'true_sequential': True}},
+    }
+
+
+_cfg_osplus.arch = 'llama'
+
 CONFIGS = {'AWQ-W4A16': _cfg_awq, 'GPTQ-W4A16': _cfg_gptq,
            'RTN-W4A16': _cfg_rtn, 'SmoothQuant-W8A8': _cfg_smoothquant,
-           'HQQ-W4A16': _cfg_hqq, 'QuaRot-W4': _cfg_quarot}
+           'HQQ-W4A16': _cfg_hqq, 'QuaRot-W4': _cfg_quarot,
+           'OsPlus-W8A8': _cfg_osplus}
 
 
 def run_reference(cfg_path, out_path):
