@@ -238,10 +238,33 @@ def _cfg_osplus(ckpt, calib_dir, eval_dir):
 
 _cfg_osplus.arch = 'llama'
 
+def _cfg_llmint8(ckpt, calib_dir, eval_dir):
+    return {
+        'base': {'seed': 42},
+        'model': {'type': 'Opt', 'path': ckpt, 'torch_dtype': 'auto'},
+        'calib': {'name': 'pileval', 'download': False, 'path': calib_dir,
+                  'n_samples': 4, 'bs': 1, 'seq_len': 32,
+                  'preproc': 'pileval_awq', 'seed': 42},
+        'eval': {'eval_pos': ['pretrain', 'fake_quant'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'quant': {'method': 'LlmInt8',
+                  'weight': {'bit': 8, 'symmetric': True,
+                             'granularity': 'per_channel'},
+                  'act': {'bit': 8, 'symmetric': True,
+                          'granularity': 'per_token'},
+                  'special': {'threshold': 6.0}},
+    }
+
+
 CONFIGS = {'AWQ-W4A16': _cfg_awq, 'GPTQ-W4A16': _cfg_gptq,
            'RTN-W4A16': _cfg_rtn, 'SmoothQuant-W8A8': _cfg_smoothquant,
            'HQQ-W4A16': _cfg_hqq, 'QuaRot-W4': _cfg_quarot,
            'OsPlus-W8A8': _cfg_osplus}
+# NOTE: LlmInt8 excluded — the reference's get_outlier_indices assumes
+# 3-D acts and IndexErrors on this tiny-OPT eval path; our LlmInt8 is
+# covered by the in-process oracle tests instead.
+_ = _cfg_llmint8  # kept for reference
 
 
 def run_reference(cfg_path, out_path):
