@@ -25,61 +25,6 @@ from .utils import (ALGO_REGISTRY, Cfg, check_config, get_modality,
                     load_config, seed_all)
 
 
-def _eval_ids(config, tokenizer) -> Optional[np.ndarray]:
-    ev = config.get('eval')
-    if not ev:
-        return None
-    ev0 = ev[0] if isinstance(ev, list) else ev
-    name = ev0.get('name', 'synthetic')
-    if name == 'synthetic':
-        rng = np.random.RandomState(ev0.get('seed', 0))
-        n = ev0.get('num_tokens', 16384)
-        vocab = ev0.get('vocab_size', 32000)
-        return rng.randint(0, vocab, size=(n,)).astype(np.int32)
-    path = ev0.get('path')
-    if path and os.path.isfile(path):
-        with open(path) as f:
-            text = f.read()
-        return np.asarray(tokenizer(text)['input_ids'], np.int32)
-    import datasets
-    ds = datasets.load_from_disk(path)
-    text = '\n\n'.join(ds['text'])
-    return np.asarray(tokenizer(text)['input_ids'], np.int32)
-
-
-def _vqa_samples(model, batches, ans_len: int):
-    """Build native-VQA samples: each calib batch becomes one
-    (prompt, image kwargs, answer) sample whose answer is the PRETRAIN
-    model's greedy continuation — eval_vqa's lmms-eval scoring reduces
-    to exactly this generate-and-match mechanics (eval_vqa.py:18-302)."""
-    import jax.numpy as jnp
-    samples = []
-    for b in batches:
-        # one sample per batch row 0: slice batch-major image arrays to
-        # the first row so ids and image kwargs stay batch-aligned
-        # (non-batch-major kwargs like qwen2vl pixel_patches pass
-        # through — those sources are bs=1)
-        bs = int(np.asarray(b['input_ids']).shape[0])
-        img_kwargs = {
-            k: (v[:1] if bs > 1 and isinstance(v, np.ndarray)
-                and v.ndim > 1 and v.shape[0] == bs else v)
-            for k, v in b.items()
-            if k not in ('input_ids', 'attention_mask')}
-        cur = jnp.asarray(np.asarray(b['input_ids'], np.int32))[:1]
-        jk = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
-              for k, v in img_kwargs.items()}
-        ans = []
-        for _ in range(ans_len):
-            logits = model.forward_logits(cur, **jk)
-            nxt = int(np.asarray(jnp.argmax(logits[0, -1])))
-            ans.append(nxt)
-            cur = jnp.concatenate(
-                [cur, jnp.asarray([[nxt]], cur.dtype)], axis=1)
-        samples.append(dict({'input_ids': np.asarray(
-            b['input_ids'], np.int32)[0], 'answer_ids': ans}, **img_kwargs))
-    return samples
-
-
 def _apply_platform_env():
     """LLMC_PLATFORM=cpu / LLMC_HOST_DEVICES=8: force the JAX platform
     IN-PROCESS.  The axon environment pre-imports jax via sitecustomize
@@ -101,6 +46,12 @@ def _apply_platform_env():
 def run_pipeline(config: Dict) -> Dict:
     """Returns a result dict with eval metrics per position."""
     _apply_platform_env()
+    # join the jax.distributed world when launched multi-host (the
+    # reference's init_process_group at entry, __main__.py:192) — no-op
+    # single-process; reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    # JAX_PROCESS_ID (scripts/run_llmc.sh sets them per host)
+    from .parallel.multihost import init_distributed
+    init_distributed()
     config = Cfg(config)
     check_config(config)
     # fail fast on unknown algorithms / invalid option combos before any
@@ -117,55 +68,17 @@ def run_pipeline(config: Dict) -> Dict:
 
     with TIMER.phase('build_model'):
         model = build_model(config)
-    ev = config.get('eval')
-    ev0 = (ev[0] if isinstance(ev, list) else ev) if ev else None
-    eval_pos = list(ev0.get('eval_pos', [])) if ev0 else []
-    is_video = (config['model']['type'] in ('WanT2V', 'WanI2V')
-                or (ev0 or {}).get('type') == 'video_gen')
-    video_eval = None
-    if ev0 and is_video:
-        from .eval.video import VideoGenerateEval
-        vds = CalibDataset(dict(ev0, name=ev0.get('name',
-                                                  'synthetic_t2v')),
-                           model.tokenizer)
-        vsamples, _ = vds.get_calib_dataset()
-        video_eval = VideoGenerateEval(vsamples, ev0)
-        if 'pretrain' in eval_pos:
-            with TIMER.phase('eval_pretrain'):
-                results.update({f'video_pretrain_{k}': v for k, v in
-                                video_eval.eval(model, 'pretrain').items()
-                                if not isinstance(v, str)})
-    is_vqa = bool(ev0) and ev0.get('type') == 'vqa'
-    ppl_eval = None
-    if ev0 and not is_video and not is_vqa:
-        ids = _eval_ids(config, model.tokenizer)
-        if ids is not None:
-            from .eval.ppl import PerplexityEval
-            ppl_eval = PerplexityEval(ids, seq_len=ev0.get('seq_len', 2048),
-                                      bs=ev0.get('bs', 1))
-
-    if ppl_eval and 'pretrain' in eval_pos:
-        with TIMER.phase('eval_pretrain'):
-            results['ppl_pretrain'] = ppl_eval.eval(model)
-
-    # VQA eval (reference eval_vqa.py via lmms-eval; here the native
-    # evaluator): answers are the PRETRAIN model's greedy continuations,
-    # so pretrain accuracy is 1.0 by construction and the transformed /
-    # fake_quant positions measure answer consistency under compression
-    # (the VLM analog of TokenConsistencyEval).
-    vqa_eval = None
-    if is_vqa and not is_video:
-        from .eval.vqa import VQAEval
-        vds = CalibDataset(dict(ev0, name=ev0.get('name', 'synthetic_vlm')),
-                           model.tokenizer)
-        vbatches, _ = vds.get_calib_dataset()
-        ans_len = int(ev0.get('answer_tokens', 4))
-        with TIMER.phase('eval_pretrain'):
-            samples = _vqa_samples(model, vbatches, ans_len)
-            vqa_eval = VQAEval(samples, max_new_tokens=ans_len)
-            if 'pretrain' in eval_pos:
-                results['vqa_pretrain_acc'] = vqa_eval.eval(
-                    model)['accuracy']
+    # config-driven eval orchestration: the eval section is a LIST of
+    # entries, each with its own type and eval_pos — the reference's
+    # get_eval_list / eval_model (eval/utils.py:12-93)
+    from .eval.orchestrate import EvalOrchestrator
+    orch = EvalOrchestrator(config, model)
+    with TIMER.phase('eval_pretrain'):
+        # VQA answers / synthetic-acc labels derive from the pretrain
+        # model — build them before calibration mutates weights
+        orch.prebuild(model)
+        if orch.wants('pretrain'):
+            results.update(orch.run('pretrain', model))
 
     blockwise_opt = None
     for modality, mcfg in get_modality(config):
@@ -174,8 +87,15 @@ def run_pipeline(config: Dict) -> Dict:
         calib_cfg = config.get('calib')
         algo_cls = ALGO_REGISTRY[mcfg['method']]
         if calib_cfg and getattr(algo_cls, 'needs_calib', True):
+            import jax
             dataset = CalibDataset(calib_cfg, model.tokenizer)
-            batches, padding_mask = dataset.get_calib_dataset()
+            # multi-host: each process loads only its stride slice of
+            # the calibration set (reference samples[RANK::WORLD],
+            # base_dataset.py:170-172); shard_inputs_dict later
+            # assembles the global batch across hosts
+            batches, padding_mask = dataset.get_calib_dataset(
+                rank=jax.process_index(),
+                world_size=jax.process_count())
             jb = [dict(b, **({'input_ids': jnp.asarray(b['input_ids'])}
                              if 'input_ids' in b else {}))
                   for b in batches]
@@ -199,53 +119,23 @@ def run_pipeline(config: Dict) -> Dict:
 
     if hasattr(model, 'set_modality'):
         model.set_modality('language')  # evals run on the LM stack
-    if ppl_eval and 'transformed' in eval_pos:
+    if orch.wants('transformed'):
         with TIMER.phase('eval_transformed'):
-            results['ppl_transformed'] = ppl_eval.eval(model)
-    if vqa_eval is not None and 'transformed' in eval_pos:
-        with TIMER.phase('eval_transformed'):
-            results['vqa_transformed_acc'] = vqa_eval.eval(
-                model)['accuracy']
-    if vqa_eval is not None and blockwise_opt is not None \
-            and 'fake_quant' in eval_pos:
-        with TIMER.phase('eval_fake_quant'):
-            results['vqa_fake_quant_acc'] = vqa_eval.eval(
-                model, qmap=blockwise_opt.deploy('fake_quant'))['accuracy']
-    if blockwise_opt is not None and ppl_eval and 'fake_quant' in eval_pos:
+            results.update(orch.run('transformed', model))
+    if blockwise_opt is not None and (orch.wants('fake_quant')
+                                      or orch.wants('fake_quant_wo_kv')):
         qmap = blockwise_opt.deploy('fake_quant')
-        with TIMER.phase('eval_fake_quant'):
-            results['ppl_fake_quant'] = ppl_eval.eval(model, qmap=qmap)
-        if ev0.get('eval_token_consist'):
-            from .eval.ppl import TokenConsistencyEval
-            tc = TokenConsistencyEval(_eval_ids(config, model.tokenizer),
-                                      seq_len=ev0.get('seq_len', 2048),
-                                      bs=ev0.get('bs', 1))
-            results['token_consistency'] = tc.eval(model, None, qmap)
-
-    # decode-PPL through the (quantized) KV cache (eval type: decode_ppl)
-    if ev0 and ev0.get('type') == 'decode_ppl' and blockwise_opt is not None:
-        from .eval.ppl import DecodePerplexityEval
-        ids = _eval_ids(config, model.tokenizer)
-        dpe = DecodePerplexityEval(ids, seq_len=ev0.get('seq_len', 2048),
-                                   num_samples=ev0.get('num_samples', 4))
-        qmap = blockwise_opt.deploy('fake_quant')
-        results['decode_ppl_fake_quant'] = dpe.eval(
-            model, qmap=qmap, kv_policy=getattr(blockwise_opt,
-                                                'kv_module', None))
-        if 'fake_quant_wo_kv' in eval_pos:
-            # reference eval position fake_quant_wo_kv (eval/utils.py:
-            # 83-86): fake-quant weights/acts but an FP KV cache —
-            # isolates the KV quantizer's contribution to decode PPL
-            results['decode_ppl_fake_quant_wo_kv'] = dpe.eval(
-                model, qmap=qmap, kv_policy=None)
-
-    if video_eval is not None and blockwise_opt is not None \
-            and 'fake_quant' in eval_pos:
-        qmap = blockwise_opt.deploy('fake_quant')
-        with TIMER.phase('eval_fake_quant'):
-            res = video_eval.eval(model, 'fake_quant', qmap=qmap)
-            results.update({f'video_fake_quant_{k}': v for k, v in
-                            res.items() if not isinstance(v, str)})
+        kvp = getattr(blockwise_opt, 'kv_module', None)
+        if orch.wants('fake_quant'):
+            with TIMER.phase('eval_fake_quant'):
+                results.update(orch.run('fake_quant', model, qmap=qmap,
+                                        kv_policy=kvp))
+        if orch.wants('fake_quant_wo_kv'):
+            # fake-quant weights/acts but an FP KV cache — isolates the
+            # KV quantizer's contribution (reference eval/utils.py:83-86)
+            with TIMER.phase('eval_fake_quant'):
+                results.update(orch.run('fake_quant_wo_kv', model,
+                                        qmap=qmap, kv_policy=None))
 
     save = config.get('save', {})
     if save.get('save_lightx2v') and blockwise_opt is not None:

@@ -42,11 +42,43 @@ def batch_sharding(mesh: Mesh, ndim: int, axis: str = 'dp'
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 
+def _split_points(n: int, ndev: int) -> List[slice]:
+    """Slices for a batch of ``n`` samples over ``ndev`` devices: the
+    largest dp-divisible prefix (sharded), plus a remainder (replicated
+    extra batch).  Engines sum statistics over batches with per-sample /
+    per-token weighting (GPTQ Hessians are exactly preserved; AWQ's
+    per-batch act-scale weighting matches the reference's own
+    rank-uneven ``samples[RANK::WORLD]`` semantics, base_dataset.py:170)."""
+    main = n - n % ndev
+    out = []
+    if main:
+        out.append(slice(0, main))
+    if main < n:
+        out.append(slice(main, n))
+    return out
+
+
+def _put_global(mesh: Mesh, x, axis: str):
+    """Shard a batch-leading array over the dp axis.  Multi-process, the
+    LOCAL array is this host's slice and the global array concatenates
+    every host's contribution (reference ``samples[RANK::WORLD]``,
+    base_dataset.py:170-172) without gathering data onto one host."""
+    sh = batch_sharding(mesh, x.ndim, axis)
+    if jax.process_count() > 1:
+        gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(
+            sh, np.asarray(x), gshape)
+    return jax.device_put(x, sh)
+
+
 def shard_calib_batches(mesh: Mesh, batches: Sequence[jax.Array],
                         axis: str = 'dp') -> List[jax.Array]:
     """Place each calibration batch's sample dim over the mesh's dp axis.
 
-    Single-process: the full batch is local; device_put splits it.
+    Single-process: the full batch is local; device_put splits it.  A
+    batch whose sample count does not divide by dp is split into a
+    sharded prefix + a replicated remainder batch (see _split_points) —
+    n_samples need not be divisible by dp.
     Multi-process: ``batches`` hold this host's LOCAL samples
     (host_shard_batches slice); the global array is assembled from every
     host's contribution without gathering data onto one host.
@@ -55,44 +87,55 @@ def shard_calib_batches(mesh: Mesh, batches: Sequence[jax.Array],
     out = []
     for x in batches:
         x = jnp.asarray(x)
-        if x.shape[0] % ndev:
-            pad = ndev - x.shape[0] % ndev
-            # repeat-pad samples so the dp split is even; statistics are
-            # token-weighted means so duplicated samples bias them — keep
-            # the pad out of the stats by trimming AFTER reductions where
-            # exactness matters (the engine treats batches as given, so
-            # we instead require divisibility for exact parity)
-            raise ValueError(
-                f'calibration batch of {x.shape[0]} samples does not '
-                f'split over dp={ndev}; choose n_samples divisible by dp')
-        sh = batch_sharding(mesh, x.ndim, axis)
         if jax.process_count() > 1:
-            # each process holds samples[RANK::WORLD]; the global batch
-            # concatenates them — global shape = sum of local shapes
-            gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
-            out.append(jax.make_array_from_process_local_data(
-                sh, np.asarray(x), gshape))
-        else:
-            out.append(jax.device_put(x, sh))
+            if (x.shape[0] * jax.process_count()) % ndev:
+                raise ValueError(
+                    f'multi-process calibration batch of {x.shape[0]} '
+                    f'local samples does not split over dp={ndev}; '
+                    f'choose n_samples divisible by dp')
+            out.append(_put_global(mesh, x, axis))
+            continue
+        for sl in _split_points(x.shape[0], ndev):
+            part = x[sl]
+            sh = (batch_sharding(mesh, x.ndim, axis)
+                  if part.shape[0] % ndev == 0
+                  else NamedSharding(mesh, P()))
+            out.append(jax.device_put(part, sh))
     return out
 
 
 def shard_inputs_dict(mesh: Mesh, inputs: Dict, axis: str = 'dp') -> Dict:
     """Shard a collect_first_block_input result ({'data': [...],
     'kwargs': [...]}) over dp.  kwargs entries (masks, position ids)
-    shard on their leading dim when it matches the batch."""
-    data = shard_calib_batches(mesh, inputs['data'], axis)
-    kwargs = []
-    for kw, x in zip(inputs.get('kwargs') or [{}] * len(data), data):
-        new_kw = {}
-        for k, v in (kw or {}).items():
-            if hasattr(v, 'shape') and v.ndim >= 1 and \
-                    v.shape[0] == x.shape[0]:
-                new_kw[k] = jax.device_put(
-                    jnp.asarray(v), batch_sharding(mesh, v.ndim, axis))
-            else:
-                new_kw[k] = v
-        kwargs.append(new_kw)
+    shard on their leading dim when it matches the batch; batches split
+    by _split_points get their kwargs split the same way."""
+    ndev = mesh.shape[axis]
+    data, kwargs = [], []
+    kws_in = inputs.get('kwargs') or [{}] * len(inputs['data'])
+    for x, kw in zip(inputs['data'], kws_in):
+        x = jnp.asarray(x)
+        n = x.shape[0]
+        slices = (_split_points(n, ndev)
+                  if jax.process_count() == 1 else [slice(0, n)])
+        for sl in slices:
+            (part,) = shard_calib_batches(mesh, [x[sl]], axis)
+            data.append(part)
+            new_kw = {}
+            for k, v in (kw or {}).items():
+                if hasattr(v, 'shape') and v.ndim >= 1 and \
+                        v.shape[0] == n:
+                    vp = jnp.asarray(v)[sl]
+                    if jax.process_count() > 1:
+                        new_kw[k] = _put_global(mesh, vp, axis)
+                    elif vp.shape[0] % ndev == 0:
+                        new_kw[k] = jax.device_put(
+                            vp, batch_sharding(mesh, v.ndim, axis))
+                    else:
+                        new_kw[k] = jax.device_put(
+                            vp, NamedSharding(mesh, P()))
+                else:
+                    new_kw[k] = v
+            kwargs.append(new_kw)
     return {'data': data, 'kwargs': kwargs}
 
 

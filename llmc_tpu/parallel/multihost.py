@@ -40,7 +40,11 @@ def init_distributed(coordinator_address: Optional[str] = None,
     PROCESS_ID — or the TPU metadata autodetection inside
     jax.distributed).  Returns this host's process index."""
     global _INITIALIZED
-    if _INITIALIZED or jax.process_count() > 1:
+    # NOTE: do NOT touch jax.process_count()/process_index() before the
+    # decision to initialize — they initialize the XLA backend, after
+    # which jax.distributed.initialize() raises.  is_initialized() is a
+    # pure client check.
+    if _INITIALIZED or jax.distributed.is_initialized():
         _INITIALIZED = True
         return jax.process_index()
     coord = coordinator_address or os.environ.get('JAX_COORDINATOR_ADDRESS')

@@ -84,7 +84,12 @@ class ServingEngine:
         self.mesh = mesh
         self.B = max_batch
         self.S = max_len
-        self.buckets = [b for b in prefill_buckets if b <= max_len]
+        # max_len is always the final bucket: without it a prompt longer
+        # than the largest configured bucket would compute a negative pad
+        # and crash in _admit, and max_len < min(buckets) would leave the
+        # list empty (ADVICE r2)
+        self.buckets = sorted(
+            {b for b in prefill_buckets if b < max_len} | {max_len})
         cfg = self.cfg
         params = model.params
         if blocks_homogeneous(params['blocks']):
@@ -238,8 +243,32 @@ class ServingEngine:
     # host scheduler
     # ------------------------------------------------------------------
     def submit(self, req: Request):
+        P = len(req.prompt_ids)
+        if P > self.buckets[-1]:
+            raise ValueError(
+                f'prompt length {P} exceeds the engine max prefill '
+                f'length {self.buckets[-1]} (max_len={self.S}); '
+                f'truncate the prompt or raise max_len')
+        if P >= self.S:
+            raise ValueError(
+                f'prompt length {P} leaves no room to generate within '
+                f'max_len={self.S}')
         req.output_ids = []
         self.queue.append(req)
+
+    def _retire(self, b, req):
+        req.done = True
+        self.active[b] = False
+        self.slot_req[b] = None
+        # reset pos so retired slots stop inflating the paged decode's
+        # chunk trip count (ADVICE r2: max(pos) over stale retired
+        # positions forces every step to scan to the stale maximum)
+        self.cache = dict(self.cache,
+                          pos=self.cache['pos'].at[b].set(0))
+        if self.allocator is not None:
+            self.cache = dict(self.cache,
+                              table=self.allocator.release(
+                                  b, self.cache['table']))
 
     def _finish_admit(self, b, req, P, nxt):
         # position = P (padding beyond P is never read: attention
@@ -250,6 +279,12 @@ class ServingEngine:
         self.active[b] = True
         self.slot_req[b] = req
         req.output_ids.append(int(nxt))
+        # the prefill already produced one token: a request satisfied by
+        # it alone must retire NOW, or the next decode step would append
+        # a second token past max_new_tokens (ADVICE r2)
+        if (len(req.output_ids) >= req.max_new_tokens
+                or (req.eos_id is not None and int(nxt) == req.eos_id)):
+            self._retire(b, req)
 
     def _admit(self):
         pend = []                   # dense path: batch same-bucket fills
@@ -333,13 +368,7 @@ class ServingEngine:
                        and req.output_ids[-1] == req.eos_id)
             if len(req.output_ids) >= req.max_new_tokens or hit_eos \
                     or int(pos_np[b]) >= self.S - 1:
-                req.done = True
-                self.active[b] = False
-                self.slot_req[b] = None
-                if self.allocator is not None:
-                    self.cache = dict(self.cache,
-                                      table=self.allocator.release(
-                                          b, self.cache['table']))
+                self._retire(b, req)
         return True
 
     def run(self, requests: List[Request], max_steps: int = 10000

@@ -115,15 +115,19 @@ class ShadowKVPolicy:
         out_idx = state['out_idx'][layer]                 # [1,KVH,n_out]
         excl = jax.vmap(jax.vmap(lambda m, i: m.at[i].set(True)))(
             jnp.zeros(attn.shape, bool), out_idx)
-        local_ids = n_chunks - 1 - jnp.arange(self.local_chunk)
+        # cap the local window exactly as prefill did (init_from_prefill
+        # loc) — an uncapped self.local_chunk on a short prefill
+        # (n_chunks <= local_chunk) would wrap to negative ids and attend
+        # the wrong chunks (ADVICE r2)
+        loc = max(min(self.local_chunk, n_chunks - 1), 0)
+        local_ids = n_chunks - 1 - jnp.arange(loc)
         excl = excl.at[..., local_ids].set(True)
         attn = jnp.where(excl, -jnp.inf, attn)
         n_out = out_idx.shape[-1]
         k_sel_chunks = min(self.sparse_budget // cs,
-                           n_chunks - n_out - self.local_chunk)
-        local = (n_chunks - 1 -
-                 jnp.arange(self.local_chunk))[None, None, :]
-        local = jnp.broadcast_to(local, (B, KVH, self.local_chunk))
+                           n_chunks - n_out - loc)
+        local = (n_chunks - 1 - jnp.arange(loc))[None, None, :]
+        local = jnp.broadcast_to(local, (B, KVH, loc))
         if k_sel_chunks > 0:
             sel = jax.lax.top_k(attn, k_sel_chunks)[1]    # [1,KVH,sel]
             chunks = jnp.concatenate([sel, out_idx, local], axis=-1)

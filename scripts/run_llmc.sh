@@ -9,10 +9,12 @@ llmc_tpu=${LLMC_TPU_ROOT:-$(cd "$(dirname "$0")/.." && pwd)}
 task_name=${1:-rtn_w4}
 config=${2:-${llmc_tpu}/configs/ci/${task_name}.yml}
 
-# multi-host (uncomment + fill in for a v5e pod slice):
-# export LLMC_COORDINATOR=10.0.0.2:8476   # host 0 address
-# export LLMC_NUM_PROCESSES=4
-# export LLMC_PROCESS_ID=${TPU_WORKER_ID}
+# multi-host (uncomment + fill in for a v5e pod slice); these are the
+# variables llmc_tpu/parallel/multihost.py:init_distributed reads, and
+# run_pipeline calls it at entry on every host:
+# export JAX_COORDINATOR_ADDRESS=10.0.0.2:8476   # host 0 address
+# export JAX_NUM_PROCESSES=4
+# export JAX_PROCESS_ID=${TPU_WORKER_ID}
 
 mkdir -p "${llmc_tpu}/save/${task_name}"
 cd "${llmc_tpu}"
