@@ -155,21 +155,48 @@ class LlamaAdapter(BaseAdapter):
 
     # --- constructors ---------------------------------------------------
     @classmethod
-    def from_pretrained(cls, path: str, dtype=jnp.bfloat16):
-        from .hf_loader import (llama_params_from_hf, load_hf_config,
-                                load_hf_tensors)
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16,
+                        stream: Optional[bool] = None,
+                        offload: bool = False):
+        """``stream`` loads tensors lazily one at a time from the
+        (possibly sharded) safetensors files — peak host memory is the
+        params pytree + ONE tensor, never all shards (default: auto, on
+        for sharded checkpoints).  ``offload`` keeps block params as
+        host numpy for the per-block streaming calibration/eval paths
+        (the 405B-on-one-chip capability, reference README.md:106)."""
+        from .hf_loader import (LazyHFTensors, llama_params_from_hf,
+                                load_hf_config, load_hf_tensors)
         hf = load_hf_config(path)
         cfg = cls.config_cls.from_hf(hf)
-        flat = load_hf_tensors(path, dtype=dtype)
+        if stream is None:
+            stream = os.path.exists(
+                os.path.join(path, 'model.safetensors.index.json'))
+        if stream or offload:
+            flat = LazyHFTensors(path, dtype=dtype)
+        else:
+            flat = load_hf_tensors(path, dtype=dtype)
         params = llama_params_from_hf(flat, cfg.num_hidden_layers,
                                       cfg.tie_word_embeddings)
+        if offload:
+            # blocks stay host numpy; embed/norm/head go to device once
+            import numpy as _np
+            nonblock = {k: v for k, v in params.items() if k != 'blocks'}
+            nonblock = jax.tree.map(lambda x: jnp.asarray(x), nonblock)
+            params = dict(nonblock,
+                          blocks=[jax.tree.map(_np.asarray, b)
+                                  for b in params['blocks']])
+        elif stream:
+            params = jax.tree.map(lambda x: jnp.asarray(x), params)
         tok = None
         try:
             from transformers import AutoTokenizer
             tok = AutoTokenizer.from_pretrained(path)
         except Exception:
             pass
-        return cls(cfg, params, tok, hf)
+        m = cls(cfg, params, tok, hf)
+        if offload:
+            m.offloaded = True
+        return m
 
     @classmethod
     def from_config(cls, config):

@@ -22,6 +22,22 @@ def load_hf_config(path: str) -> dict:
         return json.load(f)
 
 
+def _np_fallback_read(fpath: str, name: str) -> np.ndarray:
+    """Read a tensor safetensors' numpy framework can't decode (fp8:
+    torch.float8_* have no numpy name) via the torch framework + a
+    uint8 bit-cast into the matching ml_dtypes dtype."""
+    import ml_dtypes
+    import torch
+    from safetensors import safe_open
+    with safe_open(fpath, framework='pt') as f:
+        t = f.get_tensor(name)
+    cast = {torch.float8_e4m3fn: ml_dtypes.float8_e4m3fn,
+            torch.float8_e5m2: ml_dtypes.float8_e5m2}.get(t.dtype)
+    if cast is None:
+        raise TypeError(f'{name}: unsupported dtype {t.dtype}')
+    return t.view(torch.uint8).numpy().view(cast)
+
+
 def _iter_safetensor_files(path: str):
     idx = os.path.join(path, 'model.safetensors.index.json')
     if os.path.exists(idx):
@@ -37,15 +53,106 @@ def _iter_safetensor_files(path: str):
             raise FileNotFoundError(f'no safetensors found under {path}')
 
 
+class LazyHFTensors:
+    """Lazy {hf_name: array} view over a (sharded) safetensors checkpoint.
+
+    Loads ONE tensor per access directly from its shard (safetensors
+    mmap), so peak host memory while assembling a params pytree is the
+    pytree itself plus a single tensor — the sharded-checkpoint /
+    405B-class ingestion path (reference streams shards manually in
+    base_model.py:202-249; HF sharding: index.json `weight_map`).
+
+    Drop-in for the flat dict consumed by ``llama_params_from_hf``:
+    supports ``[]``, ``.get``, ``in`` and ``.keys``.  FP8-block tensors
+    (``weight`` + ``weight_scale_inv`` pairs) are dequantized on access.
+    Arrays come back as NUMPY (host) so big models can stay offloaded;
+    jnp ops upcast transparently when the pytree is used on device.
+    """
+
+    def __init__(self, path: str, dtype=jnp.bfloat16):
+        self.path = path
+        self.dtype = dtype
+        self._files = {}           # fname -> open safe_open handle
+        idx = os.path.join(path, 'model.safetensors.index.json')
+        self._name_to_file: Dict[str, str] = {}
+        if os.path.exists(idx):
+            with open(idx) as f:
+                index = json.load(f)
+            self._name_to_file = dict(index['weight_map'])
+            self.total_size = int(
+                index.get('metadata', {}).get('total_size', 0))
+        else:
+            single = os.path.join(path, 'model.safetensors')
+            if not os.path.exists(single):
+                raise FileNotFoundError(
+                    f'no safetensors found under {path}')
+            from safetensors import safe_open
+            with safe_open(single, framework='numpy') as f:
+                for name in f.keys():
+                    self._name_to_file[name] = 'model.safetensors'
+            self.total_size = os.path.getsize(single)
+
+    def keys(self):
+        return self._name_to_file.keys()
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._name_to_file
+
+    def _handle(self, fname: str):
+        h = self._files.get(fname)
+        if h is None:
+            from safetensors import safe_open
+            h = safe_open(os.path.join(self.path, fname),
+                          framework='numpy')
+            self._files[fname] = h
+        return h
+
+    def _raw(self, name: str) -> np.ndarray:
+        fname = self._name_to_file[name]
+        try:
+            return self._handle(fname).get_tensor(name)
+        except Exception:
+            return _np_fallback_read(os.path.join(self.path, fname),
+                                     name)
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        if name not in self._name_to_file:
+            raise KeyError(name)
+        t = self._raw(name)
+        sn = name + '_scale_inv'
+        if name.endswith('weight') and sn in self._name_to_file:
+            from ..quant.fp8_block import weight_cast_to_bf16
+            s = self._raw(sn)
+            bs = -(-t.shape[0] // s.shape[0])
+            t = np.asarray(weight_cast_to_bf16(
+                jnp.asarray(t), jnp.asarray(s), block_size=bs,
+                dtype=jnp.float32))
+        if name.endswith('weight_scale_inv'):
+            raise KeyError(f'{name}: consumed by its weight pair')
+        if (np.issubdtype(np.asarray(t).dtype, np.floating)
+                or str(t.dtype) == 'bfloat16') and self.dtype is not None:
+            t = np.asarray(jnp.asarray(t).astype(self.dtype))
+        return t
+
+    def get(self, name: str, default=None):
+        try:
+            return self[name]
+        except KeyError:
+            return default
+
+
 def load_hf_tensors(path: str, dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
     """Flat {hf_name: array} with bf16 default dtype; fp32 norms kept fp32."""
     from safetensors import safe_open
     out = {}
     for fpath in _iter_safetensor_files(path):
-        with safe_open(fpath, framework='flax') as f:
+        with safe_open(fpath, framework='numpy') as f:
             for name in f.keys():
-                t = f.get_tensor(name)
-                out[name] = t
+                try:
+                    t = f.get_tensor(name)
+                except Exception:  # fp8 tensors lack a numpy name
+                    t = _np_fallback_read(fpath, name)
+                out[name] = jnp.asarray(t)
     # FP8-block checkpoints: dequantize weight with its weight_scale_inv
     # (per-128-block scales), analog of llmc weight_cast_to_bf16
     # (quant.py:18-30).

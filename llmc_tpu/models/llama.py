@@ -74,6 +74,13 @@ class LlamaConfig:
     alibi_scaled: bool = False          # Falcon: alibi also * 1/sqrt(hd)
     learned_pos: bool = False           # learned absolute pos embeddings
     learned_pos_offset: int = 0         # OPT: positions indexed at +2
+    # --- rope scaling (HF config `rope_scaling`; Llama-3.1 'llama3'
+    # frequency remap, 'linear' position-interpolation) ------------------
+    rope_scaling_type: Optional[str] = None   # 'llama3' | 'linear'
+    rope_scaling_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_pos: int = 8192
 
     @property
     def jdtype(self):
@@ -83,7 +90,17 @@ class LlamaConfig:
     def from_hf(cls, hf: dict) -> 'LlamaConfig':
         h = hf
         heads = h['num_attention_heads']
+        rs = h.get('rope_scaling') or {}
+        rs_type = rs.get('rope_type', rs.get('type'))
+        if rs_type == 'default':
+            rs_type = None
         return cls(
+            rope_scaling_type=rs_type,
+            rope_scaling_factor=float(rs.get('factor', 1.0)),
+            rope_low_freq_factor=float(rs.get('low_freq_factor', 1.0)),
+            rope_high_freq_factor=float(rs.get('high_freq_factor', 4.0)),
+            rope_original_max_pos=int(rs.get(
+                'original_max_position_embeddings', 8192)),
             vocab_size=h['vocab_size'],
             hidden_size=h['hidden_size'],
             intermediate_size=h['intermediate_size'],
@@ -121,6 +138,23 @@ def rope_cos_sin(cfg: LlamaConfig, positions: jax.Array
         return z, z
     inv_freq = 1.0 / (cfg.rope_theta ** (
         jnp.arange(0, rd, 2, dtype=F32) / rd))
+    if cfg.rope_scaling_type == 'linear':
+        inv_freq = inv_freq / cfg.rope_scaling_factor
+    elif cfg.rope_scaling_type == 'llama3':
+        # Llama-3.1 frequency remap (HF _compute_llama3_parameters):
+        # long wavelengths scale by 1/factor, short keep, middle blends
+        factor = cfg.rope_scaling_factor
+        lo_wl = cfg.rope_original_max_pos / cfg.rope_low_freq_factor
+        hi_wl = cfg.rope_original_max_pos / cfg.rope_high_freq_factor
+        wl = 2.0 * jnp.pi / inv_freq
+        smooth = ((cfg.rope_original_max_pos / wl
+                   - cfg.rope_low_freq_factor)
+                  / (cfg.rope_high_freq_factor
+                     - cfg.rope_low_freq_factor))
+        blended = ((1 - smooth) * inv_freq / factor + smooth * inv_freq)
+        inv_freq = jnp.where(wl < hi_wl, inv_freq,
+                             jnp.where(wl > lo_wl, inv_freq / factor,
+                                       blended))
     freqs = positions.astype(F32)[..., None] * inv_freq  # [..., rd/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)

@@ -190,7 +190,13 @@ def run(config_path: str) -> dict:
     os.environ.setdefault('LOCAL_RANK', '0')
     os.environ.setdefault('WORLD_SIZE', '1')
     os.environ.setdefault('MASTER_ADDR', '127.0.0.1')
-    os.environ.setdefault('MASTER_PORT', '29571')
+    if 'MASTER_PORT' not in os.environ:
+        # a fixed port collides when several parity runs execute
+        # concurrently (EADDRINUSE); bind an ephemeral one instead
+        import socket
+        with socket.socket() as s:
+            s.bind(('127.0.0.1', 0))
+            os.environ['MASTER_PORT'] = str(s.getsockname()[1])
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
 
