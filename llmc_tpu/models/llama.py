@@ -114,9 +114,17 @@ class LlamaConfig:
             tie_word_embeddings=h.get('tie_word_embeddings', False),
             attention_bias=h.get('attention_bias', False),
             mlp_bias=h.get('mlp_bias', False),
-            dtype=str(h.get('torch_dtype', 'bfloat16')).replace(
-                'float16', 'bfloat16').replace('bfloat16', 'bfloat16'),
+            dtype=_norm_dtype(h.get('torch_dtype', 'bfloat16')),
         )
+
+
+def _norm_dtype(s) -> str:
+    """torch_dtype config string -> jnp dtype name.  fp16 maps to bf16
+    (TPU has no fp16 units); 'auto' defaults to bf16."""
+    s = str(s).replace('torch.', '')
+    if s in ('float16', 'half', 'auto'):
+        return 'bfloat16'
+    return s
 
 
 # --------------------------------------------------------------------------

@@ -39,9 +39,12 @@ F32 = jnp.float32
 
 
 def _pick_tb(batch: int, chunk: int, kvh: int, hd: int,
-             budget: int = 1 << 21) -> int:
-    """Largest power-of-two batch tile whose int8 KV chunk block stays
-    under ``budget`` bytes (x2 buffers x2 for K and V at runtime)."""
+             budget: int = 1 << 20) -> int:
+    """Largest power-of-two batch tile with at most ``budget`` KV chunk
+    ELEMENTS.  Measured VMEM stack ≈ 11 B/element (int8 K+V blocks
+    double-buffered + the in-kernel f32 conversion temps), so 1M
+    elements ≈ 11 MB against the 16 MB scoped-vmem limit; 2M OOMs
+    ("exceeded scoped vmem limit", v5e)."""
     tb = 1
     while (tb * 2 <= batch and batch % (tb * 2) == 0
            and tb * 2 * chunk * kvh * hd <= budget):
@@ -67,11 +70,15 @@ def _kernel(layer_ref, tile_last_ref, pos_ref, q_ref, k_ref, v_ref,
         kf = k_ref[...].astype(F32)             # [TB, C, KVH, hd]
         vf = v_ref[...].astype(F32)
         off = ic * chunk
-        # valid[t, c, k] = (off + c) <= pos[tile slot t]
-        idx = off + jax.lax.broadcasted_iota(jnp.int32, (tb, chunk, kvh),
-                                             1)
-        pos_t = pos_ref[...][:, 0]              # [TB]
-        valid = idx <= pos_t[:, None, None]     # [TB, C, KVH]
+        # valid[t, c, k] = (off + c) <= pos[tile slot t].  pos lives in
+        # SMEM (scalar prefetch): a [B, 1] VMEM block would violate
+        # Mosaic's (8, 128)-divisible block rule, so build the mask from
+        # TB unrolled scalar reads instead (TB is small; VPU compares
+        # are free next to the chunk DMAs).
+        idx = off + jax.lax.broadcasted_iota(jnp.int32, (chunk, kvh), 0)
+        valid = jnp.stack(
+            [idx <= pos_ref[ib * tb + t] for t in range(tb)],
+            axis=0)                             # [TB, C, KVH]
         if quantized:
             kscale = ks_ref[...]                # [TB, C, KVH]
             vscale = vs_ref[...]
@@ -131,19 +138,17 @@ def tiled_decode_attention(q: jax.Array, kbuf: jax.Array,
     # outside: the index map clamps to it so padded-tail blocks revisit
     # the same block index and their DMAs are elided
     tile_last = jnp.max(pos.reshape(nb, tb), axis=1) // chunk
-    pos2d = pos.reshape(B, 1)
 
     def kv_idx(ib, ic, lr, tl, pr):
         return (lr[0], ib, jnp.minimum(ic, tl[ib]), 0, 0)
 
     in_specs = [
-        pl.BlockSpec((tb, 1), lambda ib, ic, lr, tl, pr: (ib, 0)),
         pl.BlockSpec((tb, g, kvh, hd),
                      lambda ib, ic, lr, tl, pr: (ib, 0, 0, 0)),
         pl.BlockSpec((None, tb, chunk, kvh, hd), kv_idx),
         pl.BlockSpec((None, tb, chunk, kvh, hd), kv_idx),
     ]
-    args = [pos2d, q4, kbuf, vbuf]
+    args = [q4, kbuf, vbuf]
     if quantized:
         sspec = pl.BlockSpec(
             (None, tb, chunk, kvh),
@@ -158,7 +163,7 @@ def tiled_decode_attention(q: jax.Array, kbuf: jax.Array,
         args += [dummy, dummy]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,      # layer, tile_last, pos (scalar copy)
+        num_scalar_prefetch=3,      # layer, tile_last, pos
         grid=(nb, nch),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tb, g, kvh, hd),

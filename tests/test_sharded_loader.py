@@ -190,6 +190,22 @@ def test_rope_scaling_llama3_matches_hf():
                                sin_hf[0].numpy(), rtol=1e-5, atol=1e-6)
 
 
+def test_torch_dtype_normalization():
+    """Regression: 'bfloat16' was mangled to 'bbfloat16' by a chained
+    str.replace, crashing jdtype (cache init) on every real checkpoint."""
+    from llmc_tpu.models.llama import _norm_dtype
+    assert _norm_dtype('bfloat16') == 'bfloat16'
+    assert _norm_dtype('torch.bfloat16') == 'bfloat16'
+    assert _norm_dtype('torch.float32') == 'float32'
+    assert _norm_dtype('float16') == 'bfloat16'
+    assert _norm_dtype('auto') == 'bfloat16'
+    cfg = LlamaConfig.from_hf(dict(
+        vocab_size=8, hidden_size=8, intermediate_size=8,
+        num_hidden_layers=1, num_attention_heads=2,
+        torch_dtype='bfloat16'))
+    assert cfg.jdtype == jnp.bfloat16
+
+
 def test_rope_scaling_linear():
     cfg = LlamaConfig(rope_scaling_type='linear', rope_scaling_factor=4.0)
     base = LlamaConfig()

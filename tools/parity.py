@@ -239,9 +239,14 @@ def _cfg_osplus(ckpt, calib_dir, eval_dir):
 _cfg_osplus.arch = 'llama'
 
 def _cfg_llmint8(ckpt, calib_dir, eval_dir):
+    # On Llama (not OPT): the reference's get_outlier_indices
+    # (llmint8.py:25-33) assumes 3-D acts — HF OPT flattens MLP inputs
+    # to [B*S, C], which IndexErrors its torch.where(...)[1].  Llama
+    # keeps every linear input 3-D, so both pipelines run unmodified.
     return {
         'base': {'seed': 42},
-        'model': {'type': 'Opt', 'path': ckpt, 'torch_dtype': 'auto'},
+        'model': {'type': 'Llama', 'path': ckpt,
+                  'torch_dtype': 'torch.float32'},
         'calib': {'name': 'pileval', 'download': False, 'path': calib_dir,
                   'n_samples': 4, 'bs': 1, 'seq_len': 32,
                   'preproc': 'pileval_awq', 'seed': 42},
@@ -257,14 +262,187 @@ def _cfg_llmint8(ckpt, calib_dir, eval_dir):
     }
 
 
+_cfg_llmint8.arch = 'llama'
+
+
+def _cfg_omniq(ckpt, calib_dir, eval_dir):
+    # OmniQuant LWC (learnable clip), ref hyperparams scaled to the tiny
+    # model (configs/quantization/methods/OmniQuant/omniq_w_only.yml).
+    # eval_pos omits 'transformed': the reference's origin_float deploy
+    # drops the plain dynamic_quant_weight attr OmniQuant's w_qdq needs
+    # (module_utils.py:405-411 copies only buf_* buffers; omniq.py:683
+    # then AttributeErrors on the fake_quant re-deploy) — upstream
+    # crashes with its own shipped eval_pos list.
+    return {
+        'base': {'seed': 2},
+        'model': {'type': 'Opt', 'path': ckpt, 'torch_dtype': 'auto'},
+        'calib': {'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                  'n_samples': 4, 'bs': 1, 'seq_len': 32,
+                  'preproc': 'wikitext2_gptq', 'seed': 2},
+        'eval': {'eval_pos': ['pretrain', 'fake_quant'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'quant': {'method': 'OmniQuant',
+                  'weight': {'bit': 4, 'symmetric': False,
+                             'granularity': 'per_group', 'group_size': 32,
+                             'calib_algo': 'learnable', 'ste': True},
+                  'special': {'aug_loss': False, 'lwc': True, 'let': False,
+                              'lwc_lr': 0.01, 'let_lr': 0.005,
+                              'use_shift': False, 'alpha': 0.5,
+                              'deactive_amp': True, 'epochs': 5, 'wd': 0},
+                  'quant_out': True},
+    }
+
+
+_cfg_omniq.positions = ('pretrain', 'fake_quant')
+
+
+def _cfg_tesseraq(ckpt, calib_dir, eval_dir):
+    # TesseraQ progressive adaptive rounding
+    # (configs/quantization/methods/Tesseraq/tesseraq_w_only.yml)
+    return {
+        'base': {'seed': 42},
+        'model': {'type': 'Opt', 'path': ckpt, 'torch_dtype': 'auto'},
+        'calib': {'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                  'n_samples': 4, 'bs': 1, 'seq_len': 32,
+                  'preproc': 'wikitext2_gptq', 'seed': 42},
+        'eval': {'eval_pos': ['pretrain', 'fake_quant'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'quant': {'method': 'TesseraQ',
+                  'weight': {'bit': 4, 'symmetric': False,
+                             'granularity': 'per_group', 'group_size': 32,
+                             'calib_algo': 'learnable', 'ste': True},
+                  'special': {'lr': 0.0005, 'iterations': 30, 'wd': 0.0,
+                              'batch_size': 2, 'deactive_amp': True,
+                              'aug_loss': False, 'optimize_scale': False,
+                              'thresholds': [0.75, 0.5, 0.25, 0.09, 0.02],
+                              'weight_clip': False,
+                              'load_transform': False,
+                              'reduce_memory': False},
+                  'quant_out': True},
+    }
+
+
+def _cfg_ntweak(ckpt, calib_dir, eval_dir):
+    # NormTweaking trains LN params per block
+    # (configs/quantization/methods/NormTweaking/ntweak_w_only.yml)
+    return {
+        'base': {'seed': 42},
+        'model': {'type': 'Opt', 'path': ckpt, 'torch_dtype': 'auto'},
+        # txt_general_preproc keeps only lines >= seq_len tokens; the
+        # calib set's short lines would all be skipped -> use eval lines
+        'calib': {'name': 'pileval', 'download': False, 'path': eval_dir,
+                  'n_samples': 4, 'bs': 1, 'seq_len': 32,
+                  'preproc': 'txt_general_preproc', 'seed': 42},
+        'eval': {'eval_pos': ['pretrain', 'fake_quant'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'quant': {'method': 'NormTweaking',
+                  'weight': {'bit': 4, 'symmetric': False,
+                             'granularity': 'per_group',
+                             'group_size': 32},
+                  'special': {'ntweak_lr': 0.0001, 'deactive_amp': True,
+                              'epochs': 10, 'gamma': 0.001},
+                  'quant_out': True},
+    }
+
+
+def _cfg_spqr(ckpt, calib_dir, eval_dir):
+    # SpQR exact leave-one-out outliers + double-quantized qparams
+    # (configs/quantization/methods/SpQR/spqr_w_only.yml)
+    return {
+        'base': {'seed': 0},
+        'model': {'type': 'Opt', 'path': ckpt, 'torch_dtype': 'auto'},
+        'calib': {'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                  'n_samples': 4, 'bs': 1, 'seq_len': 32,
+                  'preproc': 'wikitext2_gptq', 'seed': 0},
+        'eval': {'eval_pos': ['pretrain', 'fake_quant'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'quant': {'method': 'SpQR',
+                  'weight': {'bit': 4, 'symmetric': False,
+                             'granularity': 'per_group', 'group_size': 16,
+                             'round_zp': False},
+                  'special': {'actorder': True, 'percdamp': 1,
+                              'blocksize': 32, 'true_sequential': True,
+                              'relative_threshold': 0.2,
+                              'simplified_outliers': False,
+                              'scale': {'bit': 3, 'symmetric': False,
+                                        'granularity': 'per_group',
+                                        'group_size': 16,
+                                        'round_zp': False},
+                              'zero': {'bit': 3, 'symmetric': False,
+                                       'granularity': 'per_group',
+                                       'group_size': 16,
+                                       'round_zp': False}},
+                  'quant_out': True},
+    }
+
+
+def _cfg_kv_decode(ckpt, calib_dir, eval_dir):
+    # RTN W8A8 + Naive int8 KV cache, decode-PPL eval — exercises the
+    # quantized-KV decode path vs the reference DecodePerplexityEval
+    # (configs/quantization/methods/KVQuant/rtn_w_a_naive_quant_kv.yml)
+    # Llama, not OPT: the reference Opt wrapper has no get_attn_in_block,
+    # so its KV-cache registration path only supports the Llama tier
+    return {
+        'base': {'seed': 42},
+        'model': {'type': 'Llama', 'path': ckpt,
+                  'torch_dtype': 'torch.float32'},
+        'eval': {'eval_pos': ['transformed', 'fake_quant',
+                              'fake_quant_wo_kv'],
+                 'name': 'wikitext2', 'type': 'decode_ppl',
+                 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32, 'num_samples': 4},
+        'quant': {'method': 'RTN',
+                  'weight': {'bit': 8, 'symmetric': True,
+                             'granularity': 'per_channel',
+                             'group_size': -1},
+                  'act': {'bit': 8, 'symmetric': True,
+                          'granularity': 'per_token'},
+                  'kvcache': {'method': 'Naive', 'bit': 8,
+                              'symmetric': True,
+                              'granularity': 'per_token'}},
+    }
+
+
+_cfg_kv_decode.arch = 'llama'
+_cfg_kv_decode.etype = 'decode_ppl'
+_cfg_kv_decode.positions = ('transformed', 'fake_quant',
+                            'fake_quant_wo_kv')
+
+
+def _cfg_wanda(ckpt, calib_dir, eval_dir):
+    # Wanda pruning (configs/sparsification/methods/Wanda/wanda.yml)
+    return {
+        'base': {'seed': 42},
+        'model': {'type': 'Llama', 'path': ckpt,
+                  'torch_dtype': 'torch.float32'},
+        # see NormTweaking note: txt_general_preproc needs long lines
+        'calib': {'name': 'pileval', 'download': False, 'path': eval_dir,
+                  'n_samples': 8, 'bs': -1, 'seq_len': 32,
+                  'preproc': 'txt_general_preproc', 'seed': 42},
+        'eval': {'eval_pos': ['pretrain', 'transformed'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'sparse': {'method': 'Wanda',
+                   'weight': {'sparsity': 0.5},
+                   'sparsity_out': False},
+    }
+
+
+_cfg_wanda.arch = 'llama'
+_cfg_wanda.positions = ('pretrain', 'transformed')
+
+
 CONFIGS = {'AWQ-W4A16': _cfg_awq, 'GPTQ-W4A16': _cfg_gptq,
            'RTN-W4A16': _cfg_rtn, 'SmoothQuant-W8A8': _cfg_smoothquant,
            'HQQ-W4A16': _cfg_hqq, 'QuaRot-W4': _cfg_quarot,
-           'OsPlus-W8A8': _cfg_osplus}
-# NOTE: LlmInt8 excluded — the reference's get_outlier_indices assumes
-# 3-D acts and IndexErrors on this tiny-OPT eval path; our LlmInt8 is
-# covered by the in-process oracle tests instead.
-_ = _cfg_llmint8  # kept for reference
+           'OsPlus-W8A8': _cfg_osplus, 'LlmInt8-W8A8': _cfg_llmint8,
+           'OmniQuant-W4A16': _cfg_omniq, 'TesseraQ-W4A16': _cfg_tesseraq,
+           'NormTweaking-W4A16': _cfg_ntweak, 'SpQR-W4A16': _cfg_spqr,
+           'KVQuant-decodePPL': _cfg_kv_decode, 'Wanda-50': _cfg_wanda}
 
 
 def run_reference(cfg_path, out_path):
@@ -292,7 +470,8 @@ def run_ours(cfg_path):
                            f'\n{r.stderr[-3000:]}')
     out = {}
     for line in r.stdout.splitlines():
-        m = re.match(r'(ppl_\w+): ([0-9.eE+-]+)', line.strip())
+        m = re.match(r'((?:decode_)?ppl_\w+): ([0-9.eE+-]+)',
+                     line.strip())
         if m:
             out[m.group(1)] = float(m.group(2))
     return out
@@ -316,14 +495,31 @@ def run_parity(workdir, methods=None):
         cfg_path = os.path.join(workdir, f'{name}.yml')
         with open(cfg_path, 'w') as f:
             yaml.safe_dump(cfg, f)
-        ref = run_reference(cfg_path,
-                            os.path.join(workdir, f'{name}_ref.json'))
-        ours = run_ours(cfg_path)
-        for pos in ('pretrain', 'transformed', 'fake_quant'):
-            rk = ref.get(pos, {}).get('ppl wikitext2')
-            ok = ours.get(f'ppl_{pos}')
+        try:
+            ref = run_reference(cfg_path,
+                                os.path.join(workdir, f'{name}_ref.json'))
+            ours = run_ours(cfg_path)
+        except Exception as exc:           # keep going; record the break
+            print(f'PARITY ERROR [{name}]: {exc}', file=sys.stderr)
+            rows.append((name, 'ERROR', float('nan'), float('nan'),
+                         float('inf')))
+            continue
+        etype = getattr(mk, 'etype', 'ppl')
+        positions = getattr(mk, 'positions',
+                            ('pretrain', 'transformed', 'fake_quant'))
+        for pos in positions:
+            rk = ref.get(pos, {}).get(f'{etype} wikitext2')
+            ok = ours.get(f'{etype}_{pos}')
             if rk is not None and ok is not None:
                 rows.append((name, pos, rk, ok, abs(rk - ok)))
+            elif rk is not None or ok is not None:
+                rows.append((name, pos,
+                             float('nan') if rk is None else rk,
+                             float('nan') if ok is None else ok,
+                             float('inf')))
+        for r in rows:
+            if r[0] == name:
+                print('ROW', r, flush=True)
     return rows
 
 

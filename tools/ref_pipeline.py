@@ -183,6 +183,24 @@ def patch_cpu():
         torch.cuda.device_count = lambda: 1
 
 
+def patch_ref_bugs():
+    """In-process signature adapter for stale reference code (nothing on
+    disk is modified).  Wanda.subset_transform kept the old 3-arg
+    ``(subset, input_feat, subset_kwargs)`` signature while its base
+    class now calls with 6 positional args
+    (base_blockwise_sparsification.py:169 vs wanda.py:34) — upstream
+    Wanda is uncallable as shipped; adapt so the oracle can run it."""
+    import inspect
+    from llmc.compression.sparsification.wanda import Wanda
+    orig = Wanda.subset_transform
+    if len(inspect.signature(orig).parameters) == 4:  # self + 3
+        def subset_transform(self, layers_dict, input_feat, prev_op,
+                             input_name, inspect_module, subset_kwargs):
+            subset = {'layers': layers_dict, 'input': [input_name]}
+            return orig(self, subset, input_feat, subset_kwargs)
+        Wanda.subset_transform = subset_transform
+
+
 def run(config_path: str) -> dict:
     install_stubs()
     patch_cpu()
@@ -199,6 +217,7 @@ def run(config_path: str) -> dict:
             os.environ['MASTER_PORT'] = str(s.getsockname()[1])
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
+    patch_ref_bugs()
 
     import torch.distributed as dist
     if not dist.is_initialized():
