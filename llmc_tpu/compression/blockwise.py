@@ -206,6 +206,41 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
         return LinearQcfg(w_spec=self.wspec, a_spec=self.aspec,
                           a_static=self.act_static)
 
+    def _pre_had_for(self, path: str):
+        """(mode, dim) of the QuaRot online rotation ``path`` needs, or
+        None.  Honored by ANY method when special.online_rotate is set —
+        the step-2-GPTQ-on-a-rotated-checkpoint flow (reference
+        gptq.py:87-88 replace_rotate_linears)."""
+        if not self.online_rotate:
+            return None
+        if path.endswith('down_proj'):
+            return ('full', 0)
+        if path.endswith('o_proj'):
+            return ('head', self.model.cfg.head_dim)
+        return None
+
+    def qcfg_for(self, block_idx: int, path: str) -> Optional[LinearQcfg]:
+        """fake_quant_qcfg + online-rotate decoration: the single source
+        for every qmap build."""
+        import dataclasses
+        qc = self.fake_quant_qcfg(block_idx, path)
+        ph = self._pre_had_for(path)
+        if qc is None or ph is None or qc.pre_had is not None:
+            return qc
+        return dataclasses.replace(qc, pre_had=ph[0], pre_had_dim=ph[1])
+
+    def transform_qmap(self) -> Optional[QMap]:
+        """QMap for fp/'transformed' evals: pure-transform entries
+        (online hadamard, no quantization) — the analog of the
+        reference's OriginFloatLinear keeping its rotater
+        (module_utils.py:408-411).  None when nothing needs it."""
+        entries = {}
+        for p in self.layout.linears:
+            ph = self._pre_had_for(p)
+            if ph is not None:
+                entries[p] = LinearQcfg(pre_had=ph[0], pre_had_dim=ph[1])
+        return QMap(entries) if entries else None
+
     def install_static_act_qparams(self):
         """Write the calibrated per-layer static act qparams into each
         linear's params (register_act_qparams analog, base:566-588);
@@ -252,7 +287,7 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
         return e
 
     def fake_quant_qmap(self, block_idx: int) -> QMap:
-        entries = {p: self.fake_quant_qcfg(block_idx, p)
+        entries = {p: self.qcfg_for(block_idx, p)
                    for p in self.layout.linears}
         entries.update(self.act_pseudo_entries())
         return QMap(entries)
@@ -306,7 +341,8 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
         if offloaded:
             from ..utils.offload import tree_to_device
             block = tree_to_device(block)
-        outs, feats = self.block_forward_capture(block)
+        outs, feats = self.block_forward_capture(
+            block, qmap=self.transform_qmap())
         if not self.quant_out:
             self.inputs = outs
         block = self.block_transform(idx, block, feats)
@@ -328,7 +364,7 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
             if self.true_sequential and i != len(self.layout.subsets) - 1:
                 # recompute activations with this subset fake-quantized
                 # (base:498-526 rehook)
-                qmap = QMap({p: self.fake_quant_qcfg(idx, p)
+                qmap = QMap({p: self.qcfg_for(idx, p)
                              for s in self.layout.subsets[:i + 1]
                              for p in s.layers})
                 _, feats2 = self.block_forward_capture(block, qmap=qmap)
@@ -374,11 +410,11 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
         """Build the QMap for an eval/serve stage; 'real quant' additionally
         transforms params to packed codes (done in export)."""
         if quant_format in ('origin_float', 'transformed'):
-            qmap = QMap({})
+            qmap = self.transform_qmap() or QMap({})
         elif quant_format == 'fake_quant':
             if self.act_static:
                 self.install_static_act_qparams()
-            per_block = [{p: self.fake_quant_qcfg(b, p)
+            per_block = [{p: self.qcfg_for(b, p)
                           for p in self.layout.linears}
                          for b in range(self.model.n_blocks)]
             if all(pb == per_block[0] for pb in per_block[1:]):

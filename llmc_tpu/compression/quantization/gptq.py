@@ -91,10 +91,12 @@ class GPTQ(BaseBlockwiseQuantization):
     def block_opt(self, idx: int):
         """quant_out must re-forward with the *static* qparams the loop
         chose (reference w_qdq via buf_scales), not a dynamic re-calib."""
+        import dataclasses
         from ...models.adapter import QMap
         from ...models.base import LinearQcfg, get_path, set_path
         block = self.model.blocks[idx]
-        outs, feats = self.block_forward_capture(block)
+        outs, feats = self.block_forward_capture(
+            block, qmap=self.transform_qmap())
         if not self.quant_out:
             self.inputs = outs
         block = self.block_transform(idx, block, feats)
@@ -106,12 +108,26 @@ class GPTQ(BaseBlockwiseQuantization):
                 if 'gptq_scales' in lin:
                     baked = set_path(baked, path,
                                      dict(lin, w=self.static_w_qdq(lin)))
-            qmap = QMap({p: LinearQcfg(a_spec=self.aspec)
-                         for p in self.layout.linears})
+
+            def qc(p):
+                c = LinearQcfg(a_spec=self.aspec)
+                ph = self._pre_had_for(p)
+                return c if ph is None else dataclasses.replace(
+                    c, pre_had=ph[0], pre_had_dim=ph[1])
+            qmap = QMap({p: qc(p) for p in self.layout.linears})
             self.inputs = self.block_forward(baked, qmap=qmap)
 
     def subset_transform(self, idx, block, subset, feats):
-        H = self._hessian(feats[subset.input_key])
+        batches = feats[subset.input_key]
+        # step-2 GPTQ on a QuaRot checkpoint: the rotated weight
+        # consumes Had-rotated activations, so the Hessian must be
+        # accumulated in that basis (reference gptq.py:263-264 rotates
+        # inp via layer.rotater before add_batch)
+        ph = self._pre_had_for(subset.layers[0])
+        if ph is not None:
+            from ...ops.hadamard import pre_had_apply
+            batches = [pre_had_apply(x, ph[0], ph[1]) for x in batches]
+        H = self._hessian(batches)
         for path in subset.layers:
             lin = get_path(block, path)
             new_lin = self.layer_transform(lin, H, path=path)

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ...models.base import LinearQcfg, get_path, set_path
+from ...models.base import get_path, set_path
 from ...ops.hadamard import apply_exact_had_to_linear, get_rotation
 from ...utils.registry import ALGO_REGISTRY
 from ..blockwise import BaseBlockwiseQuantization
@@ -106,15 +106,6 @@ class Quarot(BaseBlockwiseQuantization):
                     block = set_path(block, layers[0], fc)
         return block
 
-    def fake_quant_qcfg(self, block_idx, path):
-        qc = super().fake_quant_qcfg(block_idx, path)
-        if qc is None or not self.online_rotate:
-            return qc
-        if path.endswith('down_proj'):
-            return LinearQcfg(w_spec=qc.w_spec, a_spec=qc.a_spec,
-                              pre_had='full')
-        if path.endswith('o_proj'):
-            return LinearQcfg(w_spec=qc.w_spec, a_spec=qc.a_spec,
-                              pre_had='head',
-                              pre_had_dim=self.model.cfg.head_dim)
-        return qc
+    # online_rotate pre_had decoration now lives in the BASE
+    # BlockwiseOpt.qcfg_for/transform_qmap so step-2 methods (GPTQ on a
+    # rotated checkpoint) inherit it too.

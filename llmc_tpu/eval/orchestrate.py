@@ -62,6 +62,20 @@ def load_eval_ids(ev: Dict, tokenizer) -> Optional[np.ndarray]:
     return np.asarray(tokenizer(text)['input_ids'], np.int32)
 
 
+def load_eval_texts(ev: Dict):
+    """Raw text list for the per-text decode-PPL protocol
+    (reference eval_base.py:78-80: ``testenc = testdata['text']``).
+    Returns None for synthetic data (no raw texts exist)."""
+    if ev.get('name', 'synthetic') == 'synthetic':
+        return None
+    path = ev.get('path')
+    if path and os.path.isfile(path):
+        with open(path) as f:
+            return f.read().splitlines(keepends=True)
+    import datasets
+    return datasets.load_from_disk(path)['text']
+
+
 def _vqa_samples(model, batches, ans_len: int):
     """Native-VQA samples: each calib batch becomes one (prompt, image
     kwargs, answer) whose answer is the PRETRAIN model's greedy
@@ -274,10 +288,18 @@ class EvalOrchestrator:
         if e.evaluator is None:
             from .ppl import DecodePerplexityEval
             ev = e.ev
-            ids = load_eval_ids(ev, model.tokenizer)
-            e.evaluator = DecodePerplexityEval(
-                ids, seq_len=ev.get('seq_len', 2048),
-                num_samples=ev.get('num_samples', 4))
+            texts = load_eval_texts(ev)
+            if texts is not None and model.tokenizer is not None:
+                # reference protocol: first num_samples RAW texts,
+                # each decoded whole (eval_base.py:78-80)
+                e.evaluator = DecodePerplexityEval(
+                    texts=texts, tokenizer=model.tokenizer,
+                    num_samples=ev.get('num_samples', 4))
+            else:
+                ids = load_eval_ids(ev, model.tokenizer)
+                e.evaluator = DecodePerplexityEval(
+                    ids, seq_len=ev.get('seq_len', 2048),
+                    num_samples=ev.get('num_samples', 4))
         return e.evaluator.eval(model, qmap=qmap, kv_policy=kv_policy)
 
     def _acc_build(self, e, model):

@@ -11,7 +11,7 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.base import get_path
+from ..models.base import get_path, has_path
 from ..quant.qspec import QuantSpec
 from ..quant.quantizer import real_quant_weight
 from .formats import (awq_quant_config, export_awq_gemm_linear,
@@ -100,6 +100,8 @@ def export_real_quant(model, wspec: QuantSpec, quant_cfg: Dict,
         put(f'{b}.post_attention_layernorm.weight',
             bf16(blk['post_attention_layernorm']['w']))
         for path in layout.linears:
+            if not has_path(blk, path):
+                continue  # mixed-arch block (e.g. dense first MoE layer)
             lin = get_path(blk, path)
             g_idx = None
             if 'gptq_scales' in lin:
@@ -183,6 +185,8 @@ def export_lightx2v(model, wspec: QuantSpec, save_path: str) -> None:
         blk = model.blocks[i]
         b = f'blocks.{i}'
         for path in layout.linears:
+            if not has_path(blk, path):
+                continue  # mixed-arch block (e.g. dense first MoE layer)
             lin = get_path(blk, path)
             codes, scales, zeros = _real_quant_np(wspec, lin)
             tensors = export_vllm_linear(codes, scales, zeros,

@@ -120,8 +120,12 @@ def run_pipeline(config: Dict) -> Dict:
     if hasattr(model, 'set_modality'):
         model.set_modality('language')  # evals run on the LM stack
     if orch.wants('transformed'):
+        # online-rotate checkpoints still need the hadamard transform in
+        # fp evals (reference keeps the rotater in OriginFloatLinear)
+        tmap = (blockwise_opt.transform_qmap()
+                if hasattr(blockwise_opt, 'transform_qmap') else None)
         with TIMER.phase('eval_transformed'):
-            results.update(orch.run('transformed', model))
+            results.update(orch.run('transformed', model, qmap=tmap))
     if blockwise_opt is not None and (orch.wants('fake_quant')
                                       or orch.wants('fake_quant_wo_kv')):
         qmap = blockwise_opt.deploy('fake_quant')

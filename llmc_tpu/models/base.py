@@ -82,14 +82,8 @@ def linear_apply(p: Dict, x: jax.Array,
     transforms keep the same row/column orientation as the reference.
     """
     if qcfg is not None and qcfg.pre_had is not None:
-        from ..ops.hadamard import fwht, matmul_hadU
-        if qcfg.pre_had == 'full':
-            x = matmul_hadU(x)
-        else:  # per-head
-            hd = qcfg.pre_had_dim
-            lead = x.shape
-            x = fwht(x.reshape(*lead[:-1], lead[-1] // hd, hd))
-            x = x.reshape(lead)
+        from ..ops.hadamard import pre_had_apply
+        x = pre_had_apply(x, qcfg.pre_had, qcfg.pre_had_dim)
     round_fn = jnp.round
     if qcfg is not None and qcfg.ste:
         from ..quant.quantizer import ste_round

@@ -141,6 +141,29 @@ def get_rotation(n: int, key: jax.Array, mode: str = 'hadamard'
     return random_orthogonal_matrix(n, key)
 
 
+def pre_had_apply(x: jax.Array, mode: str, had_dim: int = 0) -> jax.Array:
+    """Online activation rotation before a linear (RotateLinear.rotate,
+    module_utils.py:470-501).
+
+    'full': x @ H_D.  'head' (o_proj input): hadamard ACROSS the heads
+    axis — length n_heads = D/had_dim, scale 1/sqrt(n_heads)
+    (module_utils.py:483-489).  The within-head factor H_hd is already
+    FOLDED into v_proj's output (quarot.py:139-142), and in Sylvester
+    ordering H_D = H_nh ⊗ H_hd, so across-heads online x within-head
+    folded = the full rotation o_proj's input side was baked with.
+    Running the online part within-head instead would CANCEL the folded
+    factor and break function preservation."""
+    orig_dtype = x.dtype
+    if mode == 'full':
+        return matmul_hadU(x).astype(orig_dtype)
+    hd = had_dim
+    lead = x.shape
+    nh = lead[-1] // hd
+    r = x.astype(F32).reshape(*lead[:-1], nh, hd).swapaxes(-1, -2)
+    r = fwht(r)                       # across heads, 1/sqrt(nh)
+    return r.swapaxes(-1, -2).reshape(lead).astype(orig_dtype)
+
+
 def apply_exact_had_to_linear(w: jax.Array, had_dim: int = -1,
                               output: bool = False) -> jax.Array:
     """Per-head (had_dim) or full Hadamard applied to weight rows/cols

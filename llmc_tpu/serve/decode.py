@@ -405,10 +405,23 @@ def init_cache(model, batch: int, max_len: int,
 
 
 def decode_nll(model, ids: jax.Array, qmap=None,
-               kv_policy: Optional[KVCachePolicy] = None
+               kv_policy: Optional[KVCachePolicy] = None,
+               n_valid: Optional[int] = None,
+               labels: Optional[jax.Array] = None,
+               score_mask: Optional[np.ndarray] = None
                ) -> Tuple[jax.Array, int]:
     """Token-by-token NLL through the KV cache (decode-PPL inner loop).
-    One lax.scan over time; cache length = seq_len."""
+    One lax.scan over time; cache length = seq_len.
+
+    ``n_valid`` (when ids are right-padded to a bucket length to bound
+    recompiles) counts only the first n_valid fed tokens into the NLL.
+    ``labels``/``score_mask`` generalize the next-token default: the
+    step that FEEDS ids[:, j] is scored against labels[:, j] iff
+    score_mask[j] — needed to mirror the reference decode-PPL protocol
+    where the KV cache persists across concatenated texts and each
+    text's last token is a label but never an input
+    (eval_ppl.py:69-92: reset_kv sits OUTSIDE the text loop)."""
+    import numpy as _np
     policy = kv_policy or FP_POLICY
     cfg = model.cfg
     B, S = ids.shape
@@ -419,23 +432,38 @@ def decode_nll(model, ids: jax.Array, qmap=None,
         params = dict(params, blocks=[])  # avoid 2x weight residency
     else:
         stacked = None
+    if labels is None:
+        # default: feeding ids[:, j] predicts ids[:, j+1]; the last fed
+        # token has nothing to predict
+        labels = jnp.concatenate([ids[:, 1:], ids[:, -1:]], axis=1)
+        nv = S if n_valid is None else int(n_valid)
+        mask = _np.arange(S) < nv - 1
+    else:
+        assert score_mask is not None
+        mask = _np.asarray(score_mask, bool)
+    count = int(mask.sum()) * B
+    fed = S - 1 if score_mask is None else S  # steps actually run
 
     @jax.jit
-    def run(params, stacked, cache, ids):
-        def step(carry, tok_next):
-            cache, tok, nll = carry
+    def run(params, stacked, cache, ids, labels, mask):
+        def step(carry, inp):
+            cache, nll = carry
+            tok, label, m = inp
             logits, cache = forward_cached(params, cfg, tok[:, None],
                                            cache, policy, qmap,
                                            stacked_blocks=stacked)
             lp = jax.nn.log_softmax(logits[:, -1].astype(F32), axis=-1)
-            nll = nll - jnp.take_along_axis(lp, tok_next[:, None],
-                                            axis=-1).sum()
-            return (cache, tok_next, nll), None
-        init = (cache, ids[:, 0], jnp.zeros((), F32))
-        (c, _, nll), _ = jax.lax.scan(step, init, ids[:, 1:].T)
+            step_nll = jnp.take_along_axis(lp, label[:, None],
+                                           axis=-1).sum()
+            nll = nll - jnp.where(m, step_nll, 0.0)
+            return (cache, nll), None
+        (c, nll), _ = jax.lax.scan(
+            step, (cache, jnp.zeros((), F32)),
+            (ids[:, :fed].T, labels[:, :fed].T,
+             jnp.asarray(mask[:fed])))
         return nll
-    nll = run(params, stacked, cache, ids)
-    return nll, B * (S - 1)
+    nll = run(params, stacked, cache, ids, labels, mask)
+    return nll, count
 
 
 def greedy_generate(model, prompt_ids: jax.Array, max_new_tokens: int,

@@ -20,3 +20,7 @@ if '--xla_force_host_platform_device_count' not in _flags:
 import jax  # noqa: E402  (already imported by sitecustomize)
 
 jax.config.update('jax_platforms', 'cpu')
+# XLA:CPU's oneDNN path runs nominally-f32 matmuls in reduced precision
+# (measured ~0.3% error vs numpy f32); function-preservation tests
+# (hadamard rotations, transforms) need true f32 accumulation.
+jax.config.update('jax_default_matmul_precision', 'highest')

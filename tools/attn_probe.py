@@ -139,6 +139,7 @@ def main():
         cases = [tuple(int(x) for x in args.case.split(','))]
     elif args.long:
         cases = [(8, 4096), (4, 8192), (1, 16384), (16, 2048)]
+        L = 8   # only n_exec layers run; full-L long buffers OOM 16GB
     else:
         cases = [(128, 96), (128, 128), (256, 96), (64, 96), (32, 128)]
     print(f'{"B":>4} {"S":>6} {"kv":>5} {"impl":>8} {"ms":>8} '

@@ -191,6 +191,7 @@ def patch_ref_bugs():
     (base_blockwise_sparsification.py:169 vs wanda.py:34) — upstream
     Wanda is uncallable as shipped; adapt so the oracle can run it."""
     import inspect
+    import types as _types
     from llmc.compression.sparsification.wanda import Wanda
     orig = Wanda.subset_transform
     if len(inspect.signature(orig).parameters) == 4:  # self + 3
@@ -199,6 +200,64 @@ def patch_ref_bugs():
             subset = {'layers': layers_dict, 'input': [input_name]}
             return orig(self, subset, input_feat, subset_kwargs)
         Wanda.subset_transform = subset_transform
+    # Wanda/Magnitude also read `self.sparser.sparsity`, but the base
+    # only ever sets `self.sparsity` (base_blockwise_sparsification.py
+    # :41) — another stale-API crash; bridge it with a property.
+    from llmc.compression.sparsification.base_blockwise_sparsification \
+        import BaseBlockwiseSparsification as _BBS
+    if not hasattr(_BBS, 'sparser'):
+        _BBS.sparser = property(lambda self: _types.SimpleNamespace(
+            sparsity=self.sparsity))
+    # Sparsification's block_forward does `block(...)[0]`, but installed
+    # transformers' decoder layers return a raw TENSOR — `[0]` silently
+    # strips the batch dim and the next block crashes on garbled shapes.
+    # The quantization base guards with isinstance(out, tuple)
+    # (base_blockwise_quantization.py:386-388); mirror that here.
+    import torch as _torch
+
+    def _block_forward(self, block, input_data=None):
+        output = []
+        if input_data is None:
+            input_data = self.input['data']
+        for i in range(len(input_data)):
+            with _torch.no_grad():
+                out = block(input_data[i], **self.input['kwargs'][i])
+                if isinstance(out, tuple):
+                    out = out[0]
+                output.append(out)
+        return output
+
+    _BBS.block_forward = _block_forward
+    # The KV-cache injection hook sets kwargs['past_key_value']
+    # (blockwise_optimization.py:66), but transformers >= 4.48 renamed
+    # the attention kwarg to past_key_values — the singular lands in
+    # **kwargs and is IGNORED, so the reference's decode-PPL runs with
+    # no cache at all (every next token predicted from a 1-token
+    # context; reproduced bit-exact by a no-cache loop).  Rename to
+    # whatever the wrapped module's forward actually accepts.
+    import inspect as _inspect
+    from llmc.compression import blockwise_optimization as _bo
+    _orig_hook = _bo.BlockwiseOpt.kv_cache_input_hook
+
+    def kv_cache_input_hook(self, attn_layer):
+        inner = _orig_hook(self, attn_layer)
+
+        def hook(module, args, kwargs):
+            args, kwargs = inner(module, args, kwargs)
+            if 'past_key_value' in kwargs:
+                try:
+                    params = _inspect.signature(
+                        type(module).forward).parameters
+                except (TypeError, ValueError):
+                    params = {}
+                if ('past_key_value' not in params
+                        and 'past_key_values' in params):
+                    kwargs['past_key_values'] = kwargs.pop(
+                        'past_key_value')
+            return args, kwargs
+        return hook
+
+    _bo.BlockwiseOpt.kv_cache_input_hook = kv_cache_input_hook
 
 
 def run(config_path: str) -> dict:
