@@ -420,8 +420,15 @@ def embed_apply(params: Dict, cfg: LlamaConfig, input_ids: jax.Array,
     return e
 
 
-def head_apply(params: Dict, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
-    """final norm + lm_head -> logits (float32)."""
+def head_apply(params: Dict, cfg: LlamaConfig, x: jax.Array,
+               qmap=None) -> jax.Array:
+    """final norm + lm_head -> logits (float32).
+
+    When the lm_head is served packed (w4/int8 codes + group scales,
+    qmap entry 'lm_head'), the logits come from the same Pallas
+    dequant-matmul as the block linears with an f32 output — the head
+    is a [vocab, D] bf16 read (~1.5 ms/step on 7B) otherwise, the
+    largest single non-block term in the decode byte budget."""
     p = params['norm']
     if cfg.norm_type == 'ln':
         h = layer_norm(x, p['w'], p.get('b'), cfg.rms_norm_eps)
@@ -429,6 +436,22 @@ def head_apply(params: Dict, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
         h = rms_norm(x, p['w'], cfg.rms_norm_eps)
     if cfg.logit_divisor:  # MiniCPM hidden_size/dim_model_base
         h = (h.astype(F32) / cfg.logit_divisor).astype(h.dtype)
+    head = params.get('lm_head') if not cfg.tie_word_embeddings else None
+    if head is not None and 'qweight' in head:
+        from ..ops.dequant_matmul import dequant_matmul
+        qc = qmap.get('lm_head') if qmap is not None else None
+        assert qc is not None and qc.qmeta is not None, \
+            'packed lm_head needs a qmap entry with QMeta'
+        logits = dequant_matmul(h.astype(cfg.jdtype), head['qweight'],
+                                head['scales'], head.get('zeros'),
+                                qc.qmeta, out_dtype=F32)
+        b = head.get('b')
+        if b is not None:
+            logits = logits + b.astype(F32)
+        cap = cfg.final_logit_softcap
+        if cap:
+            logits = cap * jnp.tanh(logits / cap)
+        return logits
     w = (params['embed_tokens']['w'] if cfg.tie_word_embeddings
          else params['lm_head']['w'])
     logits = jnp.dot(h, w.T, preferred_element_type=F32)

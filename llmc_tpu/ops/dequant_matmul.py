@@ -133,10 +133,11 @@ def dequant_weight_xla(packed, scales, zeros, meta: QMeta) -> jax.Array:
     return (c * scales.reshape(N, -1, 1)).reshape(N, K)
 
 
-def _dequant_matmul_xla(x, packed, scales, zeros, meta: QMeta):
+def _dequant_matmul_xla(x, packed, scales, zeros, meta: QMeta,
+                        out_dtype=None):
     w = dequant_weight_xla(packed, scales, zeros, meta)
     y = jnp.dot(x.astype(F32), w.T, preferred_element_type=F32)
-    return y.astype(x.dtype)
+    return y.astype(out_dtype or x.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -260,11 +261,14 @@ def _choose_w4_tiles(N: int, tm: int, gs: int, ng: int):
 
 
 @functools.partial(jax.jit, static_argnames=('meta', 'tm', 'tn',
-                                             'interpret'))
+                                             'interpret', 'out_dtype'))
 def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
                           tm: int = 256, tn: int = 256,
-                          interpret: bool = False):
-    """y = x @ dequant(packed).T on TPU."""
+                          interpret: bool = False, out_dtype=None):
+    """y = x @ dequant(packed).T on TPU.  ``out_dtype`` overrides the
+    result dtype (the lm_head wants f32 logits straight from the f32
+    accumulator instead of a bf16 round-trip)."""
+    out_dtype = out_dtype or x.dtype
     M, K = x.shape
     N = meta.out_features
     gs = meta.group_size if meta.group_size > 0 else K
@@ -322,7 +326,7 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
         # fuses it and its flops are M·ng·N — noise next to the GEMM)
         xs = jnp.sum(x.astype(F32).reshape(Mp, ng, gs), axis=2)
         out = (y32 - jnp.dot(xs, zs_ng.astype(F32),
-                             preferred_element_type=F32)).astype(x.dtype)
+                             preferred_element_type=F32)).astype(out_dtype)
         return out[:M]
     n_k = ng
     s3 = scales.reshape(N, ng, 1).transpose(1, 0, 2)
@@ -340,7 +344,7 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((tm, tn), F32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -356,7 +360,7 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
 # --------------------------------------------------------------------------
 
 def dequant_matmul(x, packed, scales, zeros, meta: QMeta,
-                   force_xla: bool = False):
+                   force_xla: bool = False, out_dtype=None):
     """Dispatch: Pallas on TPU, XLA elsewhere.  Accepts [*, K] inputs."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
@@ -374,14 +378,17 @@ def dequant_matmul(x, packed, scales, zeros, meta: QMeta,
     use_pallas = (not force_xla and on_tpu and meta.bits in (4, 8)
                   and pallas_ok)
     if use_pallas:
-        y = dequant_matmul_pallas(x2, packed, scales, zeros, meta)
+        y = dequant_matmul_pallas(x2, packed, scales, zeros, meta,
+                                  out_dtype=out_dtype)
     else:
         if meta.pre_t:  # undo the [ng, N] fold for the reference path
             s = scales.T
             z_eff = zeros.T / jnp.clip(s, 1e-9, None)
             z = z_eff - 8.0 if meta.symmetric else z_eff
             meta = dataclasses.replace(meta, pre_t=False)
-            y = _dequant_matmul_xla(x2, packed, s, z, meta)
+            y = _dequant_matmul_xla(x2, packed, s, z, meta,
+                                    out_dtype=out_dtype)
         else:
-            y = _dequant_matmul_xla(x2, packed, scales, zeros, meta)
+            y = _dequant_matmul_xla(x2, packed, scales, zeros, meta,
+                                    out_dtype=out_dtype)
     return y.reshape(*lead, -1)

@@ -35,12 +35,31 @@ CHUNKED_MIN_LEN = int(_os.environ.get('LLMC_CHUNKED_MIN', '0'))
 _CHUNK_OPTS = (512, 256, 128, 64, 32)
 # Pallas flash-decode kernel (ops/flash_decode.py): one pallas_call per
 # layer streams the valid KV prefix with pipelined chunk DMAs.
-# LLMC_ATTN=flash|chunked|full.  Default is the XLA chunked path: on
-# v5e at serving batch (B=64) it beats the per-batch-grid flash kernel
-# (2714 vs 2021 tok/s) because XLA batches the whole B into one MXU
-# einsum while the kernel's (B, chunk) grid serializes per-slot VPU
-# reductions; flash remains available for long-context/low-batch use.
-ATTN_IMPL = _os.environ.get('LLMC_ATTN', 'chunked')
+# LLMC_ATTN=auto|flash|chunked|full.  Default 'auto' dispatches on the
+# measured crossover (see _pick_attn).
+ATTN_IMPL = _os.environ.get('LLMC_ATTN', 'auto')
+# Measured flash-vs-chunked crossover (tools/attn_probe.py, v5e):
+#   B=64  S=96:   chunked 2714 tok/s vs flash 2021 (XLA batches all B
+#                 into one MXU einsum; the kernel's (B, chunk) grid
+#                 serializes per-slot VPU reductions)
+#   B=1   S=16k:  flash 1.6 ms vs chunked 57.7 ms (36x) — the chunked
+#                 fori_loop serializes ~S/chunk chunk DMAs while the
+#                 kernel pipelines them
+# The boundary is batch-dominated: flash wins when the per-slot DMA
+# pipeline beats one big einsum, i.e. small B and a long valid prefix.
+FLASH_MAX_B = int(_os.environ.get('LLMC_FLASH_MAX_B', '8'))
+FLASH_MIN_S = int(_os.environ.get('LLMC_FLASH_MIN_S', '4096'))
+
+
+def _pick_attn(B: int, smax: int) -> str:
+    """Shape-keyed attention dispatch for the decode step.  Returns the
+    PREFERRED impl; feasibility (policy, asymmetric zeros, backend,
+    chunk alignment) is still checked at the use site."""
+    if ATTN_IMPL != 'auto':
+        return ATTN_IMPL
+    if B <= FLASH_MAX_B and smax >= FLASH_MIN_S:
+        return 'flash'
+    return 'chunked'
 
 
 def _chunk_for(smax: int):
@@ -221,7 +240,8 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
     attn_ok = (S == 1 and policy.method in ('fp', 'naive')
                and not cfg.use_alibi and not cfg.attn_logit_softcap
                and not cfg.sliding_window)
-    if (ATTN_IMPL == 'flash' and attn_ok and 'k_z' not in cache
+    impl = _pick_attn(B, Smax)
+    if (impl == 'flash' and attn_ok and 'k_z' not in cache
             and jax.default_backend() != 'cpu'
             and _flash_chunk(Smax, cfg.num_key_value_heads, hd) >= 32):
         from ..ops.flash_decode import flash_decode_attention
@@ -235,7 +255,7 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
             None if fp else cache['v_s'],
             pos, jnp.asarray(layer, jnp.int32),
         ).reshape(B, 1, H, hd).astype(x.dtype)
-    elif (ATTN_IMPL != 'full' and CHUNKED_DECODE and attn_ok
+    elif (impl != 'full' and CHUNKED_DECODE and attn_ok
             and Smax >= CHUNKED_MIN_LEN and chunkc is not None):
         ctx = _decode_attn_chunked(q.astype(F32) * scale, cache, layer,
                                    policy, cfg, chunkc).astype(x.dtype)
@@ -393,7 +413,7 @@ def forward_cached(params, cfg, ids, cache, policy, qmap=None,
     cache = dict(cache, pos=cache['pos'] + S)
     if last_only:
         x = x[:, -1:]
-    return L.head_apply(params, cfg, x), cache
+    return L.head_apply(params, cfg, x, qmap=qmap), cache
 
 
 def init_cache(model, batch: int, max_len: int,

@@ -72,13 +72,26 @@ class ServingEngine:
                  max_len: int = 1024, kv_policy: KVCachePolicy = FP,
                  temperature: float = 0.0, top_p: float = 1.0,
                  mesh=None, seed: int = 0,
-                 prefill_buckets=(32, 64, 128, 256, 512)):
+                 prefill_buckets=(32, 64, 128, 256, 512),
+                 prefill_chunk: Optional[int] = None,
+                 prefill_chunks_per_step: int = 1):
+        """``prefill_chunk``: admit requests in chunk-sized prefill
+        slices interleaved between decode steps, so active slots never
+        stall longer than one chunk's prefill (a monolithic 512-token
+        admission freezes every decode slot for the full prefill —
+        the #1 inter-token tail-latency term under concurrent load).
+        ``prefill_chunks_per_step`` bounds admission work per decode
+        step (higher = faster admission, longer decode stalls)."""
         self.model = model
         self.cfg = model.cfg
         self.qmap = qmap
         self.policy = kv_policy
         assert kv_policy.method in ('fp', 'naive', 'paged'), \
             'engine supports fp / quantized (naive) / paged KV policies'
+        self.prefill_chunk = prefill_chunk
+        self.prefill_chunks_per_step = max(1, prefill_chunks_per_step)
+        assert prefill_chunk is None or kv_policy.method != 'paged', \
+            'chunked prefill is not wired for the paged pool yet'
         self.temperature = float(temperature)
         self.top_p = float(top_p)
         self.mesh = mesh
@@ -133,6 +146,9 @@ class ServingEngine:
         self._prefill_multi_jit = jax.jit(self._prefill_multi,
                                           static_argnames=('slen',))
         self._decode_jit = jax.jit(self._decode_step)
+        self._prefill_chunk_jit = jax.jit(self._prefill_chunk_step)
+        self._splice_jit = jax.jit(self._splice)
+        self.pending: deque = deque()   # chunked admissions in flight
 
     # ------------------------------------------------------------------
     # jitted programs — both ride decode.forward_cached (ONE decode path)
@@ -239,6 +255,28 @@ class ServingEngine:
         nxt = sample_logits(last, jax.random.PRNGKey(0), 0.0, 1.0)
         return nxt, cache
 
+    def _prefill_chunk_step(self, params, stacked, ids_c, local, p_rel):
+        """One prompt chunk ([1, C]) against the request's LOCAL cache
+        (pos advances by C per chunk, so rope/masking offsets are
+        automatic).  Returns the logit row at ``p_rel`` (the prompt's
+        last real token, used only on the final chunk) + the cache."""
+        logits, local = forward_cached(params, self.cfg, ids_c, local,
+                                       self.policy, self.qmap,
+                                       stacked_blocks=stacked,
+                                       unroll=stacked is not None)
+        return jnp.take(logits[0], p_rel, axis=0), local
+
+    def _splice(self, local, slot, cache):
+        """Copy every local-cache field into the slot's row of the
+        global cache (policy-agnostic, same as _prefill's tail)."""
+        for k, v in local.items():
+            if v.ndim < 3:               # pos / scalar bookkeeping
+                continue
+            cache = dict(cache, **{k: jax.lax.dynamic_update_slice(
+                cache[k], v.astype(cache[k].dtype), (0, slot) +
+                (0,) * (v.ndim - 2))})
+        return cache
+
     # ------------------------------------------------------------------
     # host scheduler
     # ------------------------------------------------------------------
@@ -286,7 +324,61 @@ class ServingEngine:
                 or (req.eos_id is not None and int(nxt) == req.eos_id)):
             self._retire(b, req)
 
+    def _admit_chunked(self):
+        """Chunked admission: each queued request claims a free slot,
+        then its prompt advances ``prefill_chunk`` tokens at a time
+        through a local cache — at most ``prefill_chunks_per_step``
+        chunks per engine step, so active decode slots stall one
+        chunk's prefill instead of the whole prompt's."""
+        cfg = self.cfg
+        for b in range(self.B):
+            if self.active[b] or self.slot_req[b] is not None \
+                    or not self.queue:
+                continue
+            req = self.queue.popleft()
+            P = len(req.prompt_ids)
+            bucket = next((s for s in self.buckets if s >= P),
+                          self.buckets[-1])
+            ce = min(self.prefill_chunk, bucket)
+            n_run = -(-P // ce)
+            if n_run * ce > self.S:  # odd bucket/chunk ratio: one shot
+                ce, n_run = bucket, 1
+            ids = np.asarray(req.prompt_ids, np.int32)[None, :]
+            ids = np.pad(ids, ((0, 0), (0, n_run * ce - P)))
+            local = self.policy.init_cache(
+                1, n_run * ce, cfg.num_key_value_heads, cfg.head_dim,
+                cfg.num_hidden_layers, dtype=cfg.jdtype)
+            # p_rel: the prompt's last real token, relative to the FINAL
+            # chunk (one device upload per request, not per chunk — host
+            # scalar uploads are ~200 ms over the axon tunnel)
+            p_rel = jnp.int32(min(max(P - 1 - (n_run - 1) * ce, 0),
+                                  ce - 1))
+            self.pending.append(dict(
+                req=req, slot=b, ids=jnp.asarray(ids), P=P, ce=ce,
+                n_run=n_run, local=local, i=0, p_rel=p_rel))
+            self.slot_req[b] = req          # reserve; active stays False
+        budget = self.prefill_chunks_per_step
+        while budget > 0 and self.pending:
+            st = self.pending[0]
+            off = st['i'] * st['ce']
+            ids_c = st['ids'][:, off:off + st['ce']]
+            last, st['local'] = self._prefill_chunk_jit(
+                self.params, self.stacked, ids_c, st['local'],
+                st['p_rel'])
+            st['i'] += 1
+            budget -= 1
+            if st['i'] == st['n_run']:
+                self.pending.popleft()
+                self.cache = self._splice_jit(st['local'], st['slot'],
+                                              self.cache)
+                nxt = sample_logits(last[None], jax.random.PRNGKey(0),
+                                    0.0, 1.0)[0]   # first token greedy
+                self._finish_admit(st['slot'], st['req'], st['P'],
+                                   int(nxt))
+
     def _admit(self):
+        if self.prefill_chunk is not None:
+            return self._admit_chunked()
         pend = []                   # dense path: batch same-bucket fills
         for b in range(self.B):
             if self.active[b] or not self.queue:
@@ -376,7 +468,8 @@ class ServingEngine:
         for r in requests:
             self.submit(r)
         steps = 0
-        while (self.queue or self.active.any()) and steps < max_steps:
+        while (self.queue or self.pending
+               or self.active.any()) and steps < max_steps:
             self.step()
             steps += 1
         return requests

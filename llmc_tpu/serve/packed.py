@@ -41,10 +41,13 @@ def _linear_dims(cfg):
 
 def packed_qmap(cfg, wspec: QuantSpec,
                 a_spec: Optional[QuantSpec] = None,
-                fuse: bool = False, pre_t: bool = False) -> QMap:
+                fuse: bool = False, pre_t: bool = False,
+                head: bool = False) -> QMap:
     """QMap whose entries carry per-layer QMeta for the kernel path.
     ``fuse`` adds entries for the concatenated qkv_proj / gate_up_proj
-    serving layout; ``pre_t`` marks pre-transposed scale storage."""
+    serving layout; ``pre_t`` marks pre-transposed scale storage;
+    ``head`` adds the packed lm_head entry (weight-only — the head is
+    the largest non-block read of the decode step)."""
     gs = wspec.group_size if wspec.granularity == 'per_group' else 0
     pre_t = pre_t and int(wspec.bit) == 4
     dims = dict(_linear_dims(cfg))
@@ -55,6 +58,8 @@ def packed_qmap(cfg, wspec: QuantSpec,
         I = cfg.intermediate_size
         dims['self_attn.qkv_proj'] = ((H + 2 * KVH) * hd, D)
         dims['mlp.gate_up_proj'] = (2 * I, D)
+    if head and not cfg.tie_word_embeddings:
+        dims['lm_head'] = (cfg.vocab_size, cfg.hidden_size)
     entries = {}
     for path, (out_f, in_f) in dims.items():
         meta = QMeta(bits=int(wspec.bit), group_size=gs or in_f,
@@ -131,21 +136,61 @@ def fuse_packed_block(block: Dict) -> Dict:
     return block
 
 
+def pack_head(params: Dict, cfg, wspec: QuantSpec,
+              pre_t: bool = True) -> Dict:
+    """Real-quantize + pack the lm_head weight (weight-only).  The head
+    read is the largest non-block term of the decode byte budget
+    ([vocab, D] bf16 = 262 MB on 7B, ~1.5 ms/step); packing it rides
+    the same Pallas dequant-matmul as the block linears."""
+    if cfg.tie_word_embeddings or params.get('lm_head') is None:
+        return params
+    lin = params['lm_head']
+    if 'qweight' in lin or lin.get('w') is None:
+        return params
+    pre_t = pre_t and int(wspec.bit) == 4
+    codes, scales, zeros = real_quant_weight(wspec, lin['w'].astype(F32))
+    meta = QMeta(bits=int(wspec.bit),
+                 group_size=wspec.group_size
+                 if wspec.granularity == 'per_group'
+                 else lin['w'].shape[1],
+                 symmetric=wspec.symmetric,
+                 out_features=lin['w'].shape[0],
+                 in_features=lin['w'].shape[1])
+    qw, s, z = pack_weight(codes.astype(jnp.int8), scales, zeros, meta)
+    if pre_t:
+        st, zst = pack_scales_t(s, z, meta)
+        new = {'qweight': qw, 'scales': st, 'zeros': zst,
+               'b': lin.get('b')}
+    else:
+        new = {'qweight': qw, 'scales': s, 'b': lin.get('b')}
+        if z is not None:
+            new['zeros'] = z
+    return dict(params, lm_head=new)
+
+
 def pack_model(model, wspec: QuantSpec,
                a_spec: Optional[QuantSpec] = None,
-               fuse: bool = False, pre_t: bool = True) -> QMap:
-    """In-place: pack every block's linears; returns the serving QMap."""
+               fuse: bool = False, pre_t: bool = True,
+               head: bool = False) -> QMap:
+    """In-place: pack every block's linears; returns the serving QMap.
+    ``head`` also packs the lm_head (weight-only, untied models)."""
     layout = model.get_layout()
     for i in range(model.n_blocks):
         model.set_block(i, pack_block(model.blocks[i], model.cfg, wspec,
                                       layout, fuse=fuse, pre_t=pre_t))
-    return packed_qmap(model.cfg, wspec, a_spec, fuse=fuse, pre_t=pre_t)
+    if head:
+        model.params = pack_head(model.params, model.cfg, wspec,
+                                 pre_t=pre_t)
+    return packed_qmap(model.cfg, wspec, a_spec, fuse=fuse, pre_t=pre_t,
+                       head=head and not model.cfg.tie_word_embeddings)
 
 
 def random_packed_llama(cfg, wspec: QuantSpec, seed: int = 0,
-                        fuse: bool = False, pre_t: bool = True):
+                        fuse: bool = False, pre_t: bool = True,
+                        head: bool = True):
     """Build a Llama adapter whose linears are random packed int4/int8 —
-    for serving/bench without materializing fp weights."""
+    for serving/bench without materializing fp weights.  ``head`` packs
+    the lm_head too (the shipped serving default)."""
     from ..models.adapter import LlamaAdapter
     key = jax.random.PRNGKey(seed)
     D = cfg.hidden_size
@@ -182,14 +227,23 @@ def random_packed_llama(cfg, wspec: QuantSpec, seed: int = 0,
         if fuse:
             blk = fuse_packed_block(blk)
         blocks.append(blk)
+    if head and not cfg.tie_word_embeddings:
+        hkeys = jax.random.split(keys[-1])
+        lm_head = packed_lin(cfg.vocab_size, D, hkeys[0])
+        if not pre_t:
+            # dequant path needs explicit zeros for asymmetric specs only
+            lm_head.pop('zeros', None)
+    else:
+        lm_head = {'w': (jax.random.normal(
+            keys[-1], (cfg.vocab_size, D), F32) * 0.02).astype(cfg.jdtype),
+            'b': None}
     params = {
         'embed_tokens': {'w': (jax.random.normal(
             keys[-2], (cfg.vocab_size, D), F32) * 0.02).astype(cfg.jdtype)},
         'blocks': blocks,
         'norm': {'w': jnp.ones((D,), cfg.jdtype)},
-        'lm_head': {'w': (jax.random.normal(
-            keys[-1], (cfg.vocab_size, D), F32) * 0.02).astype(cfg.jdtype),
-            'b': None},
+        'lm_head': lm_head,
     }
-    return LlamaAdapter(cfg, params), packed_qmap(cfg, wspec, fuse=fuse,
-                                                  pre_t=pre_t)
+    return LlamaAdapter(cfg, params), packed_qmap(
+        cfg, wspec, fuse=fuse, pre_t=pre_t,
+        head=head and not cfg.tie_word_embeddings)

@@ -165,3 +165,79 @@ def test_fused_packed_decode_matches_unfused():
     out2 = greedy_generate(m2, jnp.asarray(ids), max_new_tokens=6,
                            qmap=q2)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_packed_lm_head_logits():
+    """pack_head: packed-head logits must equal the explicit
+    dequantize-then-matmul reference bit-for-bit (f32, CPU XLA path),
+    and stay close to the fp head (w4 weight-only quality)."""
+    import numpy as np
+    from llmc_tpu.models import LlamaAdapter, LlamaConfig
+    from llmc_tpu.models.llama import head_apply
+    from llmc_tpu.ops.dequant_matmul import dequant_weight_xla
+    from llmc_tpu.quant import QuantSpec
+    from llmc_tpu.serve.packed import pack_model
+    cfg = LlamaConfig(vocab_size=256, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      head_dim=16, dtype='float32')
+    m = LlamaAdapter.random(cfg, seed=0)
+    w_fp = np.asarray(m.params['lm_head']['w'], np.float32)
+    wspec = QuantSpec(bit=4, symmetric=True, granularity='per_group',
+                      group_size=32)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 3, 64)
+                    .astype(np.float32) * 0.3)
+    qmap = pack_model(m, wspec, pre_t=False, head=True)
+    head = m.params['lm_head']
+    assert 'qweight' in head and qmap.get('lm_head') is not None
+    got = np.asarray(head_apply(m.params, cfg, x, qmap=qmap))
+    meta = qmap.get('lm_head').qmeta
+    w_dq = dequant_weight_xla(head['qweight'], head['scales'],
+                              head.get('zeros'), meta)
+    # same normed hidden state the head sees
+    from llmc_tpu.models.base import rms_norm
+    h = np.asarray(rms_norm(x, m.params['norm']['w'], cfg.rms_norm_eps))
+    ref = h.reshape(-1, 64) @ np.asarray(w_dq, np.float32).T
+    np.testing.assert_allclose(got.reshape(-1, 256), ref, rtol=1e-5,
+                               atol=1e-5)
+    # quality: w4 head logits track the fp head
+    fp = h.reshape(-1, 64) @ w_fp.T
+    rel = np.abs(ref - fp).max() / (np.abs(fp).max() + 1e-9)
+    assert rel < 0.2, rel  # random-normal weights, K=64/gs=32 (worst case)
+    # pre_t serving layout gives the same logits
+    m2 = LlamaAdapter.random(cfg, seed=0)
+    q2 = pack_model(m2, wspec, pre_t=True, head=True)
+    got2 = np.asarray(head_apply(m2.params, cfg, x, qmap=q2))
+    np.testing.assert_allclose(got2, got, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_head_decode_matches_dense_head_tokens():
+    """Greedy decode with the packed w8 head produces the same tokens as
+    the explicitly-dequantized dense head (exact path, CPU)."""
+    import numpy as np
+    from llmc_tpu.models import LlamaAdapter, LlamaConfig
+    from llmc_tpu.ops.dequant_matmul import dequant_weight_xla
+    from llmc_tpu.quant import QuantSpec
+    from llmc_tpu.serve.decode import greedy_generate
+    from llmc_tpu.serve.packed import pack_model
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      head_dim=16, dtype='float32')
+    wspec = QuantSpec(bit=8, symmetric=True, granularity='per_group',
+                      group_size=32)
+    ids = np.random.RandomState(0).randint(0, 128, (2, 6))
+    m1 = LlamaAdapter.random(cfg, seed=0)
+    q1 = pack_model(m1, wspec, head=True)
+    out1 = greedy_generate(m1, jnp.asarray(ids), max_new_tokens=6,
+                           qmap=q1)
+    m2 = LlamaAdapter.random(cfg, seed=0)
+    q2 = pack_model(m2, wspec, head=False)
+    hd = m1.params['lm_head']
+    w_dq = dequant_weight_xla(hd['qweight'], hd['scales'],
+                              hd.get('zeros'), q1.get('lm_head').qmeta)
+    m2.params['lm_head'] = {'w': jnp.asarray(w_dq, jnp.float32),
+                            'b': None}
+    out2 = greedy_generate(m2, jnp.asarray(ids), max_new_tokens=6,
+                           qmap=q2)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))

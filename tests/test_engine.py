@@ -188,3 +188,62 @@ def test_engine_batched_prefill_matches_greedy():
         np.testing.assert_array_equal(
             np.asarray(r.output_ids),
             np.asarray(ref)[0, len(r.prompt_ids):])
+
+
+def test_engine_chunked_prefill_matches_monolithic():
+    """Chunked admission (prefill_chunk) must produce exactly the same
+    tokens as monolithic prefill — fp and int8 KV policies."""
+    cfg = LlamaConfig(**TINY, dtype='float32')
+    m = LlamaAdapter.random(cfg, seed=21)
+    rng = np.random.RandomState(23)
+    for pol in (KVCachePolicy(method='fp'),
+                KVCachePolicy(method='naive', bit=8, symmetric=True)):
+        prompts = [rng.randint(0, 128, (p,)) for p in (5, 19, 30)]
+        reqs_m = [Request(uid=i, prompt_ids=p, max_new_tokens=6)
+                  for i, p in enumerate(prompts)]
+        reqs_c = [Request(uid=i, prompt_ids=p, max_new_tokens=6)
+                  for i, p in enumerate(prompts)]
+        mono = ServingEngine(m, max_batch=2, max_len=64, kv_policy=pol,
+                             prefill_buckets=(8, 16, 32))
+        mono.run(reqs_m)
+        chk = ServingEngine(m, max_batch=2, max_len=64, kv_policy=pol,
+                            prefill_buckets=(8, 16, 32),
+                            prefill_chunk=8)
+        chk.run(reqs_c)
+        for rm, rc in zip(reqs_m, reqs_c):
+            assert rc.done
+            np.testing.assert_array_equal(np.asarray(rm.output_ids),
+                                          np.asarray(rc.output_ids))
+
+
+def test_engine_chunked_prefill_no_decode_stall():
+    """While a long prompt admits chunk-by-chunk, already-active slots
+    must emit one token on EVERY engine step (the monolithic admission
+    freezes decode for the whole prefill; chunked bounds the stall to
+    one chunk per step and never skips a decode step)."""
+    cfg = LlamaConfig(**TINY, dtype='float32')
+    m = LlamaAdapter.random(cfg, seed=25)
+    rng = np.random.RandomState(27)
+    eng = ServingEngine(m, max_batch=2, max_len=96,
+                        prefill_buckets=(8, 64), prefill_chunk=8)
+    # request A: short prompt, long generation — becomes active first
+    a = Request(uid=0, prompt_ids=rng.randint(0, 128, (5,)),
+                max_new_tokens=20)
+    eng.submit(a)
+    eng.step()                      # A admitted (1 chunk) + first decode
+    assert len(a.output_ids) >= 1
+    # request B: long prompt -> 8 chunks of 8 = 8 admission steps
+    b = Request(uid=1, prompt_ids=rng.randint(0, 128, (60,)),
+                max_new_tokens=4)
+    eng.submit(b)
+    counts = []
+    for _ in range(8):              # B's admission window
+        before = len(a.output_ids)
+        eng.step()
+        counts.append(len(a.output_ids) - before)
+    # A emitted exactly one token per step — no stalled steps
+    assert counts == [1] * 8, counts
+    assert b.output_ids, 'B got its first token at admission end'
+    eng.run([])                     # drain
+    assert a.done and b.done
+    assert len(b.output_ids) == 4

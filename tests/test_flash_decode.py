@@ -76,3 +76,52 @@ def test_pick_chunk_divides():
         c = _pick_chunk(smax, 32, 128)
         assert smax % c == 0
         assert c * 32 * 128 <= (1 << 20) or c == 1 or smax % 2 == 1
+
+
+def test_attn_dispatch_table():
+    """Shape-keyed dispatch (PERF.md crossover): chunked at serving
+    shapes, flash at long-context low-batch; env override wins."""
+    from llmc_tpu.serve import decode as D
+    assert D.ATTN_IMPL == 'auto'          # shipped default
+    assert D._pick_attn(128, 96) == 'chunked'
+    assert D._pick_attn(64, 2048) == 'chunked'    # big batch: einsum wins
+    assert D._pick_attn(1, 16384) == 'flash'
+    assert D._pick_attn(8, 4096) == 'flash'
+    assert D._pick_attn(8, 2048) == 'chunked'     # below the S crossover
+    assert D._pick_attn(16, 8192) == 'chunked'    # above the B crossover
+
+
+def test_long_context_decode_cpu_fallback():
+    """At a flash-preferred shape (B<=8, S>=4096) the CPU backend must
+    fall back to a correct path (flash is TPU-only) — greedy decode
+    tokens match the full masked-read reference."""
+    import numpy as np
+    from llmc_tpu.models import LlamaAdapter, LlamaConfig
+    from llmc_tpu.serve import decode as D
+    from llmc_tpu.serve.decode import forward_cached, init_cache
+    from llmc_tpu.serve.kvcache import KVCachePolicy
+    cfg = LlamaConfig(vocab_size=64, hidden_size=32,
+                      intermediate_size=64, num_hidden_layers=2,
+                      num_attention_heads=2, num_key_value_heads=2,
+                      head_dim=16, dtype='float32')
+    m = LlamaAdapter.random(cfg, seed=0)
+    B, S = 2, 4096
+    policy = KVCachePolicy(method='fp')
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 64, (B, 8)),
+                      jnp.int32)
+    outs = {}
+    for impl in ('auto', 'full'):
+        old = D.ATTN_IMPL
+        D.ATTN_IMPL = impl
+        try:
+            cache = init_cache(m, B, S, policy)
+            logits, cache = forward_cached(m.params, cfg, ids, cache,
+                                           policy)
+            tok = logits[:, -1].argmax(-1)
+            logits2, cache = forward_cached(m.params, cfg, tok[:, None],
+                                            cache, policy)
+            outs[impl] = np.asarray(logits2[:, -1], np.float32)
+        finally:
+            D.ATTN_IMPL = old
+    np.testing.assert_allclose(outs['auto'], outs['full'], rtol=2e-4,
+                               atol=2e-4)

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from llmc_tpu.ops.decode_attn_tiled import tiled_decode_attention
 from llmc_tpu.ops.flash_decode import flash_decode_attention
 from llmc_tpu.serve.decode import _decode_attn_chunked, _chunk_for
 from llmc_tpu.serve.kvcache import KVCachePolicy
@@ -80,8 +79,7 @@ def bench_case(L, B, S, KVH, H, hd, kv, impl, iters=20, n_exec=4):
                     chunk))
             return jnp.stack(out).sum()
     else:
-        fn = (flash_decode_attention if impl == 'flash'
-              else tiled_decode_attention)
+        fn = flash_decode_attention
 
         # buffers MUST come in via the cache argument: closing over the
         # device arrays embeds them as jit constants and the remote
@@ -132,7 +130,7 @@ def main():
                     help='single "B,S" case (foreground-friendly)')
     ap.add_argument('--kv', default=None, choices=['fp', 'int8'])
     ap.add_argument('--impl', default=None,
-                    choices=['chunked', 'flash', 'tiled'])
+                    choices=['chunked', 'flash'])
     args = ap.parse_args()
     L, KVH, H, hd = 32, 32, 32, 128   # Llama-2-7B
     if args.case:
@@ -147,7 +145,7 @@ def main():
     for B, S in cases:
         for kv in ((args.kv,) if args.kv else ('fp', 'int8')):
             for impl in ((args.impl,) if args.impl
-                         else ('chunked', 'flash', 'tiled')):
+                         else ('chunked', 'flash')):
                 r = bench_case(L, B, S, KVH, H, hd, kv, impl,
                                iters=args.iters)
                 if r is None:
