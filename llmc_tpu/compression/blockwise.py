@@ -110,13 +110,22 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
 
         wcfg = dict(qc.get('weight', {}))
         self.w48 = (wcfg.get('bit') == 48)
+        self.w48_clamps = (None, None)
         if self.w48:
-            w8 = dict(wcfg, bit=8)
-            w4 = dict(wcfg.get('w4', {'bit': 4, 'granularity': 'per_group',
-                                      'group_size': wcfg.get('group_size',
-                                                             128)}))
-            self.wspec = spec_from_config(w8)
-            self.wspec4 = spec_from_config(w4)
+            # reference YAML shape (rtn_w_a_wint4aint8.yml): bit8/bit4
+            # sub-dicts with optional int_range + scales_bit/zeros_bit
+            # budgets (quant.py:1234-1290); legacy 'w4' key kept.
+            b8 = dict(wcfg.get('bit8', {}))
+            b8.setdefault('symmetric', wcfg.get('symmetric', True))
+            b8.setdefault('granularity', wcfg.get('granularity',
+                                                  'per_channel'))
+            b4 = dict(wcfg.get('bit4', wcfg.get(
+                'w4', {'granularity': 'per_group',
+                       'group_size': wcfg.get('group_size', 128)})))
+            self.wspec = spec_from_config(dict(b8, bit=8))
+            self.wspec4 = spec_from_config(dict(b4, bit=4))
+            self.w48_clamps = (_w48_budget_clamps(b4),
+                               _w48_budget_clamps(b8))
         else:
             self.wspec = spec_from_config(wcfg) if wcfg else None
             self.wspec4 = None
@@ -183,7 +192,9 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
     # ------------------------------------------------------------------
     def w_qdq(self, w, up_factor=None, low_factor=None):
         if self.w48:
-            return fake_quant_weight_w48(self.wspec, self.wspec4, w)
+            c4, c8 = self.w48_clamps
+            return fake_quant_weight_w48(self.wspec, self.wspec4, w,
+                                         clamps8=c8, clamps4=c4)
         return fake_quant_weight(self.wspec, w, up_factor=up_factor,
                                  low_factor=low_factor)
 
@@ -203,6 +214,10 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
                        ) -> Optional[LinearQcfg]:
         if self.layer_is_ignored(block_idx, path):
             return None
+        if self.w48:
+            # double quantization cannot be expressed as a runtime w_spec;
+            # deploy() bakes the w48 qdq into the params instead
+            return LinearQcfg(a_spec=self.aspec, a_static=self.act_static)
         return LinearQcfg(w_spec=self.wspec, a_spec=self.aspec,
                           a_static=self.act_static)
 
@@ -414,6 +429,9 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
         elif quant_format == 'fake_quant':
             if self.act_static:
                 self.install_static_act_qparams()
+            if self.w48 and not getattr(self, '_baked', False):
+                self.bake_fake_quant_weights()
+                self._baked = True
             per_block = [{p: self.qcfg_for(b, p)
                           for p in self.layout.linears}
                          for b in range(self.model.n_blocks)]
@@ -468,6 +486,30 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
                 wq = bake(w, up, low) if up is not None else bake_noclip(w)
                 blk = set_path(blk, path, dict(lin, w=wq))
             self.model.set_block(b, blk)
+
+
+def _w48_budget_clamps(cfg: dict):
+    """(scale_min, scale_max, zero_min, zero_max) from a Weight48 sub-spec's
+    scales_bit/zeros_bit budgets (quant.py:1258-1290).  None entries keep
+    the quantizer defaults (scales unclamped; zeros clamped to qmin/qmax).
+    NB the reference derives the ZEROS bounds from scales_bit too
+    (quant.py:1276-1287) — reproduced verbatim."""
+    if 'scales_bit' not in cfg and 'zeros_bit' not in cfg:
+        return None
+    smin = smax = zmin = zmax = None
+    if 'scales_bit' in cfg:
+        sb = int(cfg['scales_bit'])
+        if cfg.get('scales_symmetric', True):
+            smin, smax = float(-(2 ** (sb - 1))), float(2 ** (sb - 1) - 1)
+        else:
+            smin, smax = 0.0, float(2 ** sb - 1)
+    if 'zeros_bit' in cfg:
+        sb = int(cfg.get('scales_bit', cfg['zeros_bit']))
+        if cfg.get('zeros_symmetric', True):
+            zmin, zmax = float(-(2 ** (sb - 1))), float(2 ** (sb - 1) - 1)
+        else:
+            zmin, zmax = 0.0, float(2 ** sb - 1)
+    return (smin, smax, zmin, zmax)
 
 
 def _expand_ranges(items):

@@ -422,7 +422,12 @@ class GPTQ(BaseBlockwiseQuantization):
         z = lin.get('gptq_zeros')
         z = z.reshape(oc, -1, 1) if z is not None else 0.0
         wg = w.reshape(oc, -1, gs)
-        q = jnp.clip(jnp.round(wg / s) + z, spec.qmin, spec.qmax)
+        if spec.round_zp:
+            q = jnp.clip(jnp.round(wg / s) + z, spec.qmin, spec.qmax)
+        else:
+            # unrounded zero folds in BEFORE rounding (quant.py:699-707)
+            q = jnp.clip(jnp.round(wg / jnp.clip(s, 1e-9, None) + z),
+                         spec.qmin, spec.qmax)
         out = ((q - z) * s).reshape(oc, C)
         if n_out is None:
             n_out = lin.get('owq_n_out', 0)

@@ -104,9 +104,12 @@ class SpQR(GPTQ):
                                                jnp.eye(C, dtype=F32))
         Hinv = jnp.linalg.cholesky(Hinv_full).T
 
+        # NB torch.Tensor.var defaults to the UNBIASED estimator (ddof=1);
+        # jnp.var defaults to ddof=0 — a silent oc/(oc-1) threshold skew
+        # that flips marginal outlier picks (spqr.py:203-204)
         thr = self.relative_threshold * jnp.mean(
-            jnp.var(W, axis=0) / jnp.clip(jnp.diag(Hinv) ** 2, 1e-12,
-                                          None))
+            jnp.var(W, axis=0, ddof=1) / jnp.clip(jnp.diag(Hinv) ** 2,
+                                                  1e-12, None))
         finite_thr = self.relative_threshold != float('inf')
         gs = spec.group_size
         ng = C // gs
@@ -140,7 +143,16 @@ class SpQR(GPTQ):
                 Wb, Tb, Errb, Mb = icarry
                 w = jax.lax.dynamic_slice_in_dim(Wb, i, 1, 1)
                 d = jax.lax.dynamic_slice(Hb, (i, i), (1, 1))[0, 0]
-                q = jnp.clip(jnp.round(w / s) + z, spec.qmin, spec.qmax)
+                # round_zp=False rounds AFTER adding the (unrounded)
+                # zero — round(w/s + z), not round(w/s) + z
+                # (quant.py:699-707); SpQR configs run round_zp: false
+                if spec.round_zp:
+                    q = jnp.clip(jnp.round(w / s) + z,
+                                 spec.qmin, spec.qmax)
+                else:
+                    q = jnp.clip(jnp.round(w / jnp.clip(s, 1e-9, None)
+                                           + z),
+                                 spec.qmin, spec.qmax)
                 qdq = (q - z) * s
                 err = (w - qdq) / d
                 if finite_thr:

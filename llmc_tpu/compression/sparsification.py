@@ -35,8 +35,12 @@ class BaseBlockwiseSparsification(BlockwiseOpt):
         self.block_fn = model.block_fn()
         w = sparsity_config.get('weight', sparsity_config)
         self.sparsity = float(w.get('sparsity', 0.5))
-        self.n_prune_layers = sparsity_config.get('special', {}).get(
-            'n_prune_layers')
+        # reference key: sparse.weight.n_prune_layers
+        # (base_blockwise_sparsification.py:43-44); 'special' kept for
+        # back-compat with earlier local configs
+        self.n_prune_layers = w.get(
+            'n_prune_layers',
+            sparsity_config.get('special', {}).get('n_prune_layers'))
         self._jit = None
 
     def block_forward_capture(self, block):
@@ -177,6 +181,9 @@ class ShortGPT(BaseBlockwiseSparsification):
         return layers_to_remove or []
 
     def deploy(self, fmt='sparse'):
+        if getattr(self, '_deployed', False):
+            return []
+        self._deployed = True
         removed = self.remove_layers()
         if self.model.hf_config is not None:
             self.model.hf_config['num_hidden_layers'] = self.model.n_blocks

@@ -120,6 +120,12 @@ def run_pipeline(config: Dict) -> Dict:
     if hasattr(model, 'set_modality'):
         model.set_modality('language')  # evals run on the LM stack
     if orch.wants('transformed'):
+        # sparsification deploys BEFORE the transformed eval: the reference
+        # runs deploy_all_modality('origin_float') there, which is where
+        # ShortGPT removes its layers (eval/utils.py:83-84, shortgpt.py:86-93)
+        from .compression.sparsification import BaseBlockwiseSparsification
+        if isinstance(blockwise_opt, BaseBlockwiseSparsification):
+            blockwise_opt.deploy('transformed')
         # online-rotate checkpoints still need the hadamard transform in
         # fp evals (reference keeps the rotater in OriginFloatLinear)
         tmap = (blockwise_opt.transform_qmap()

@@ -448,10 +448,18 @@ class DeepseekV2Adapter(BaseAdapter):
 
     @classmethod
     def from_config(cls, config):
+        from . import deepseek as DS
         m = config['model']
         if m.get('path'):
             return cls.from_pretrained(m['path'])
-        raise ValueError('DeepseekV2 requires model.path')
+        cfg = DS.DeepseekConfig(**dict(m.get('arch', {})))
+        return cls(cfg, DS.init_params(cfg, jax.random.PRNGKey(
+            int(m.get('seed', 0)))))
+
+    @classmethod
+    def random(cls, cfg, seed: int = 0):
+        from . import deepseek as DS
+        return cls(cfg, DS.init_params(cfg, jax.random.PRNGKey(seed)))
 
     def get_layout(self):
         return self._layout

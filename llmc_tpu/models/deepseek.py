@@ -386,6 +386,62 @@ def make_inspect_fns(cfg: DeepseekConfig):
 # HF loading / random init
 # --------------------------------------------------------------------------
 
+def init_params(cfg: DeepseekConfig, key) -> Dict:
+    """Random tiny-model init (tests / synthetic configs)."""
+    D = cfg.hidden_size
+    H = cfg.num_attention_heads
+    dn, dr, dv = (cfg.qk_nope_head_dim, cfg.qk_rope_head_dim,
+                  cfg.v_head_dim)
+    dc = cfg.kv_lora_rank
+    dtype = cfg.jdtype
+    n_keys = 4 + cfg.num_hidden_layers * (
+        8 + 3 * ((cfg.n_routed_experts or 0) + 2))
+    keys = iter(jax.random.split(key, n_keys))
+
+    def lin(o, i):
+        return {'w': (jax.random.normal(next(keys), (o, i), F32)
+                      * (0.6 / i ** 0.5)).astype(dtype), 'b': None}
+
+    def swiglu(inter):
+        return {'gate_proj': lin(inter, D), 'up_proj': lin(inter, D),
+                'down_proj': lin(D, inter)}
+
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        attn = {
+            'kv_a_proj_with_mqa': lin(dc + dr, D),
+            'kv_a_layernorm': {'w': jnp.ones((dc,), dtype)},
+            'kv_b_proj': lin(H * (dn + dv), dc),
+            'o_proj': lin(D, H * dv),
+        }
+        if cfg.q_lora_rank is None:
+            attn['q_proj'] = lin(H * (dn + dr), D)
+        else:
+            attn['q_a_proj'] = lin(cfg.q_lora_rank, D)
+            attn['q_a_layernorm'] = {
+                'w': jnp.ones((cfg.q_lora_rank,), dtype)}
+            attn['q_b_proj'] = lin(H * (dn + dr), cfg.q_lora_rank)
+        if cfg.is_moe_layer(i):
+            mlp = {'gate': lin(cfg.n_routed_experts, D),
+                   'experts': [swiglu(cfg.moe_intermediate_size)
+                               for _ in range(cfg.n_routed_experts)]}
+            if cfg.n_shared_experts:
+                mlp['shared_experts'] = swiglu(
+                    cfg.moe_intermediate_size * cfg.n_shared_experts)
+        else:
+            mlp = swiglu(cfg.intermediate_size)
+        blocks.append({
+            'input_layernorm': {'w': jnp.ones((D,), dtype)},
+            'self_attn': attn,
+            'post_attention_layernorm': {'w': jnp.ones((D,), dtype)},
+            'mlp': mlp,
+        })
+    return {'embed_tokens': {'w': (jax.random.normal(
+        next(keys), (cfg.vocab_size, D), F32) * 0.02).astype(dtype)},
+        'blocks': blocks, 'norm': {'w': jnp.ones((D,), dtype)},
+        'lm_head': lin(cfg.vocab_size, D)}
+
+
 def params_from_hf(flat: Dict, cfg: DeepseekConfig) -> Dict:
     def lin(pre):
         return {'w': flat[f'{pre}.weight'],

@@ -31,9 +31,16 @@ def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ('dp', 'tp'))
 
 
-# column-parallel (shard dim 0 = out), row-parallel (shard dim 1 = in)
-_COL = ('q_proj', 'k_proj', 'v_proj', 'gate_proj', 'up_proj')
-_ROW = ('o_proj', 'down_proj')
+# column-parallel (shard dim 0 = out), row-parallel (shard dim 1 = in).
+# MoE experts (Mixtral w1/w3/w2, DeepSeek/Qwen2Moe per-expert
+# gate/up/down) follow the Megatron per-expert pattern; MLA shards the
+# HEAD-indexed projections (q_b/kv_b out-dim = H*(dn+dr) / H*(dn+dv)) and
+# replicates the latent path (kv_a_proj_with_mqa, q_a_proj — their
+# outputs feed full-width rmsnorms).  Routers ('gate',
+# 'shared_expert_gate') replicate.
+_COL = ('q_proj', 'k_proj', 'v_proj', 'gate_proj', 'up_proj',
+        'w1', 'w3', 'q_b_proj', 'kv_b_proj', 'qkv_proj', 'gate_up_proj')
+_ROW = ('o_proj', 'down_proj', 'w2')
 
 
 def _linear_pspec(name: str, key: str):
@@ -56,23 +63,28 @@ def _linear_pspec(name: str, key: str):
 
 
 def param_pspecs(params) -> dict:
-    """PartitionSpec pytree matching a Llama-family params pytree."""
+    """PartitionSpec pytree matching a Llama/MoE/MLA-family params
+    pytree.  Walks the block tree recursively: a dict whose values are
+    all array leaves (or None) is a linear/norm keyed by its OWN name
+    (expert lists and nested shared_experts recurse)."""
+    def is_leaf_module(node):
+        return isinstance(node, dict) and node and all(
+            not isinstance(v, (dict, list)) for v in node.values())
+
+    def walk(name, node):
+        if isinstance(node, list):
+            return [walk(name, x) for x in node]
+        if is_leaf_module(node):
+            if name in _COL or name in _ROW:
+                return {k: (_linear_pspec(name, k)
+                            if v is not None else None)
+                        for k, v in node.items()}
+            return {k: (P() if v is not None else None)
+                    for k, v in node.items()}
+        return {k: walk(k, v) for k, v in node.items()}
+
     def block_spec(bp):
-        out = {}
-        for comp, sub in bp.items():
-            if comp in ('input_layernorm', 'post_attention_layernorm'):
-                out[comp] = {k: P() for k in sub}
-            else:  # self_attn / mlp
-                out[comp] = {}
-                for lname, lin in sub.items():
-                    if lname.endswith('_norm'):
-                        out[comp][lname] = {k: P() for k in lin}
-                    else:
-                        out[comp][lname] = {
-                            k: (_linear_pspec(lname, k)
-                                if v is not None else None)
-                            for k, v in lin.items()}
-        return out
+        return walk('', bp)
 
     specs = {
         'embed_tokens': {'w': P('tp', None)},

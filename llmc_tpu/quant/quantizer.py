@@ -372,15 +372,45 @@ def unpack_int4(packed: jax.Array, signed: bool = True) -> jax.Array:
 # Weight48 double quantization (quant.py:1232-1369)
 # --------------------------------------------------------------------------
 
+def _w48_qparams(spec: QuantSpec, t: jax.Array, clamps=None) -> QParams:
+    """Weight48 qparams (quant.py:1307-1330): minmax range, always-rounded
+    zero point, then scale/zero clamping to the ``scales_bit``/``zeros_bit``
+    budgets.  Unlike the standard asym path the zero point is clamped to the
+    ZEROS bounds only — quant.py:1288-1289 defaults those to (qmin, qmax)
+    when no zeros_bit is configured, but an explicit zeros_bit WIDENS them
+    beyond the code range (matters for all-negative groups)."""
+    mn, mx = minmax_range(spec, t)
+    if spec.symmetric:
+        amax = jnp.clip(jnp.maximum(jnp.abs(mx), jnp.abs(mn)), 1e-5, None)
+        scales = amax / spec.qmax
+        zeros = jnp.zeros((), F32)
+    else:
+        scales = jnp.clip(mx - mn, 1e-5, None) / (spec.qmax - spec.qmin)
+        zeros = spec.qmin - jnp.round(mn / scales)
+    smin, smax, zmin, zmax = clamps or (None, None, None, None)
+    if smin is not None:
+        scales = jnp.clip(scales, smin, smax)
+    if not spec.symmetric:
+        zeros = jnp.clip(zeros,
+                         spec.qmin if zmin is None else zmin,
+                         spec.qmax if zmax is None else zmax)
+    return QParams(scales, zeros)
+
+
 def fake_quant_weight_w48(spec8: QuantSpec, spec4: QuantSpec,
-                          w: jax.Array) -> jax.Array:
+                          w: jax.Array, clamps8=None,
+                          clamps4=None) -> jax.Array:
     """Quantize to 8 bits, then quantize the 8-bit codes to 4 bits and
-    reconstruct ('bit: 48' config)."""
+    reconstruct ('bit: 48' config, quant.py:1342-1369).  ``clamps*`` are
+    (scale_min, scale_max, zero_min, zero_max) tuples from the config's
+    scales_bit/zeros_bit budgets (None entries keep the defaults)."""
     orig_dtype = w.dtype
-    t8, qp8 = tensor_qparams(spec8, w)
+    t8 = reshape_tensor(spec8, w.astype(F32))
+    qp8 = _w48_qparams(spec8, t8, clamps8)
     q8 = quant(spec8, t8, qp8)
     q8r = restore_tensor(spec8, q8, w.shape)
-    t4, qp4 = tensor_qparams(spec4, q8r)
+    t4 = reshape_tensor(spec4, q8r)
+    qp4 = _w48_qparams(spec4, t4, clamps4)
     q4 = quant_dequant(spec4, t4, qp4)
     q4r = restore_tensor(spec4, q4, w.shape)
     out = dequant(spec8, reshape_tensor(spec8, q4r), qp8)

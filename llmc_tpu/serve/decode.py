@@ -318,7 +318,19 @@ def _finish_block(bp, cfg, x, h, attn_out, qc, qmap):
 
     def mlp(h_in):
         from ..models.base import linear_apply
+        # MoE blocks ride the same cached-decode path: the routed MLP is
+        # a pure [B, S, D] -> [B, S, D] operator (dense dispatch — exact,
+        # static-shaped; reference scope: deepseekv2.py:67+, mixtral.py)
+        if 'block_sparse_moe' in bp:                     # Mixtral
+            from ..models.mixtral import moe_apply as _mx_moe
+            return _mx_moe(bp['block_sparse_moe'], cfg, h_in, qmap)[0]
         mp = bp['mlp']
+        if 'experts' in mp:
+            if 'shared_expert' in mp:                    # Qwen2Moe
+                from ..models.qwen2moe import moe_apply as _moe
+            else:                                        # DeepSeek V2/V3
+                from ..models.deepseek import moe_apply as _moe
+            return _moe(mp, cfg, h_in, qmap)[0]
         if 'gate_up_proj' in mp:  # fused serving layout (gated)
             gu = linear_apply(mp['gate_up_proj'], h_in,
                               qc('mlp.gate_up_proj'))

@@ -86,8 +86,14 @@ class ServingEngine:
         self.cfg = model.cfg
         self.qmap = qmap
         self.policy = kv_policy
+        # DeepSeek-family configs carry kv_lora_rank: serve through the
+        # absorbed-latent MLA cache (serve/mla_decode.py) instead of the
+        # per-head K/V cache — same scheduler, different jitted forward
+        self.mla = getattr(self.cfg, 'kv_lora_rank', None) is not None
         assert kv_policy.method in ('fp', 'naive', 'paged'), \
             'engine supports fp / quantized (naive) / paged KV policies'
+        assert not (self.mla and kv_policy.method != 'fp'), \
+            'MLA serving uses the fp latent cache (quantized latent: TODO)'
         self.prefill_chunk = prefill_chunk
         self.prefill_chunks_per_step = max(1, prefill_chunks_per_step)
         assert prefill_chunk is None or kv_policy.method != 'paged', \
@@ -105,23 +111,46 @@ class ServingEngine:
             {b for b in prefill_buckets if b < max_len} | {max_len})
         cfg = self.cfg
         params = model.params
-        if blocks_homogeneous(params['blocks']):
+        if not self.mla and blocks_homogeneous(params['blocks']):
             self.stacked = stack_block_params(params['blocks'])
             self.params = dict(params, blocks=[])
         else:
+            # MLA forward loops params['blocks'] directly (mixed
+            # dense/MoE layers are rarely homogeneous anyway)
             self.stacked = None
             self.params = params
-        cache = kv_policy.init_cache(
-            self.B, self.S, cfg.num_key_value_heads, cfg.head_dim,
-            cfg.num_hidden_layers, dtype=cfg.jdtype)
+        if self.mla:
+            from .mla_decode import init_mla_cache
+            cache = init_mla_cache(cfg, self.B, self.S, dtype=cfg.jdtype)
+        else:
+            cache = kv_policy.init_cache(
+                self.B, self.S, cfg.num_key_value_heads, cfg.head_dim,
+                cfg.num_hidden_layers, dtype=cfg.jdtype)
         # per-slot positions: the engine's slots decode at different
         # offsets within one jitted step
         cache['pos'] = jnp.zeros((self.B,), jnp.int32)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            kv_spec = NamedSharding(mesh, P(None, None, None, 'tp', None))
-            # scale buffers are [L,B,S,KVH] (squeezed) — shard KVH too
-            sc_spec = NamedSharding(mesh, P(None, None, None, 'tp'))
+            # slots (dim 1 = B) shard over dp — NOT for the paged pool,
+            # whose dim 1 is the global page index (any slot, any page)
+            dp = 'dp' if ('dp' in mesh.axis_names
+                          and self.B % mesh.shape['dp'] == 0
+                          and kv_policy.method != 'paged') else None
+            if self.mla:
+                # the latent is shared across heads: no tp sharding of
+                # the cache; slots (B) shard over dp
+                kv_spec = sc_spec = NamedSharding(mesh, P(None, dp,
+                                                          None, None))
+            else:
+                # KVH shards over tp only when divisible (GQA models can
+                # have fewer kv heads than tp degree — replicate then)
+                tp = 'tp' if ('tp' in mesh.axis_names
+                              and cfg.num_key_value_heads
+                              % mesh.shape['tp'] == 0) else None
+                kv_spec = NamedSharding(mesh, P(None, dp, None, tp,
+                                                None))
+                # scale buffers are [L,B,S,KVH] (squeezed) — shard KVH too
+                sc_spec = NamedSharding(mesh, P(None, dp, None, tp))
             rep = NamedSharding(mesh, P())
             cache = {k: jax.device_put(
                          v, kv_spec if v.ndim == 5
@@ -151,18 +180,28 @@ class ServingEngine:
         self.pending: deque = deque()   # chunked admissions in flight
 
     # ------------------------------------------------------------------
-    # jitted programs — both ride decode.forward_cached (ONE decode path)
+    # jitted programs — all ride ONE forward: decode.forward_cached for
+    # the per-head K/V cache, mla_decode.mla_forward_cached for the
+    # absorbed latent cache (DeepSeek)
     # ------------------------------------------------------------------
+    def _forward(self, params, stacked, ids, cache, policy=None):
+        if self.mla:
+            from .mla_decode import mla_forward_cached
+            return mla_forward_cached(params, self.cfg, ids, cache,
+                                      self.qmap)
+        return forward_cached(params, self.cfg, ids, cache,
+                              policy or self.policy, self.qmap,
+                              stacked_blocks=stacked,
+                              unroll=stacked is not None)
+
     def _decode_step(self, params, stacked, toks, cache, active, key):
         pos_before = cache['pos']
         # unroll=True: the scan-over-layers path CARRIES the KV cache and
         # XLA double-buffers scan carries — an extra cache-sized HBM
         # buffer plus copy traffic (measured 5013 -> 5800 tok/s at B=128
         # on the 7B bench).  The unrolled loop updates cache in place.
-        logits, cache = forward_cached(params, self.cfg, toks[:, None],
-                                       cache, self.policy, self.qmap,
-                                       stacked_blocks=stacked,
-                                       unroll=stacked is not None)
+        logits, cache = self._forward(params, stacked, toks[:, None],
+                                      cache)
         nxt = sample_logits(logits[:, -1], key, self.temperature,
                             self.top_p)
         # inactive slots neither advance nor keep the sampled token
@@ -176,12 +215,14 @@ class ServingEngine:
         prefill variants)."""
         cfg = self.cfg
         policy = policy or self.policy
-        local = policy.init_cache(
-            batch, slen, cfg.num_key_value_heads, cfg.head_dim,
-            cfg.num_hidden_layers, dtype=cfg.jdtype)
-        return forward_cached(params, cfg, ids, local, policy,
-                              self.qmap, stacked_blocks=stacked,
-                              unroll=stacked is not None)
+        if self.mla:
+            from .mla_decode import init_mla_cache
+            local = init_mla_cache(cfg, batch, slen, dtype=cfg.jdtype)
+        else:
+            local = policy.init_cache(
+                batch, slen, cfg.num_key_value_heads, cfg.head_dim,
+                cfg.num_hidden_layers, dtype=cfg.jdtype)
+        return self._forward(params, stacked, ids, local, policy=policy)
 
     def _prefill(self, params, stacked, ids, slot, p_last, cache, slen):
         """One request ([1, slen]) through the full graph on a local
@@ -260,10 +301,7 @@ class ServingEngine:
         (pos advances by C per chunk, so rope/masking offsets are
         automatic).  Returns the logit row at ``p_rel`` (the prompt's
         last real token, used only on the final chunk) + the cache."""
-        logits, local = forward_cached(params, self.cfg, ids_c, local,
-                                       self.policy, self.qmap,
-                                       stacked_blocks=stacked,
-                                       unroll=stacked is not None)
+        logits, local = self._forward(params, stacked, ids_c, local)
         return jnp.take(logits[0], p_rel, axis=0), local
 
     def _splice(self, local, slot, cache):
@@ -345,9 +383,14 @@ class ServingEngine:
                 ce, n_run = bucket, 1
             ids = np.asarray(req.prompt_ids, np.int32)[None, :]
             ids = np.pad(ids, ((0, 0), (0, n_run * ce - P)))
-            local = self.policy.init_cache(
-                1, n_run * ce, cfg.num_key_value_heads, cfg.head_dim,
-                cfg.num_hidden_layers, dtype=cfg.jdtype)
+            if self.mla:
+                from .mla_decode import init_mla_cache
+                local = init_mla_cache(cfg, 1, n_run * ce,
+                                       dtype=cfg.jdtype)
+            else:
+                local = self.policy.init_cache(
+                    1, n_run * ce, cfg.num_key_value_heads, cfg.head_dim,
+                    cfg.num_hidden_layers, dtype=cfg.jdtype)
             # p_rel: the prompt's last real token, relative to the FINAL
             # chunk (one device upload per request, not per chunk — host
             # scalar uploads are ~200 ms over the axon tunnel)

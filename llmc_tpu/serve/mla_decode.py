@@ -71,14 +71,24 @@ def _mla_block_cached(bp: Dict, cfg: DS.DeepseekConfig, x, cos, sin,
     k_pe = DS.apply_rope_interleaved(k_pe.reshape(B, S, 1, dr), cos,
                                      sin).reshape(B, S, dr)
 
-    # latent cache write
+    # latent cache write; pos may be scalar (lockstep) or per-slot [B]
+    # (serving engine: each slot decodes at its own offset)
     pos = cache['pos']
-    ckv_full = jax.lax.dynamic_update_slice(
-        cache['ckv'][layer], kv_an.astype(cache['ckv'].dtype),
-        (0, pos, 0))
-    kpe_full = jax.lax.dynamic_update_slice(
-        cache['kpe'][layer], k_pe.astype(cache['kpe'].dtype),
-        (0, pos, 0))
+    per_slot = getattr(pos, 'ndim', 0) == 1
+    if per_slot:
+        bidx = jnp.arange(B)[:, None]
+        sidx = pos[:, None] + jnp.arange(S)[None, :]
+        ckv_full = cache['ckv'][layer].at[bidx, sidx].set(
+            kv_an.astype(cache['ckv'].dtype))
+        kpe_full = cache['kpe'][layer].at[bidx, sidx].set(
+            k_pe.astype(cache['kpe'].dtype))
+    else:
+        ckv_full = jax.lax.dynamic_update_slice(
+            cache['ckv'][layer], kv_an.astype(cache['ckv'].dtype),
+            (0, pos, 0))
+        kpe_full = jax.lax.dynamic_update_slice(
+            cache['kpe'][layer], k_pe.astype(cache['kpe'].dtype),
+            (0, pos, 0))
     cache = dict(cache,
                  ckv=cache['ckv'].at[layer].set(ckv_full),
                  kpe=cache['kpe'].at[layer].set(kpe_full))
@@ -97,9 +107,14 @@ def _mla_block_cached(bp: Dict, cfg: DS.DeepseekConfig, x, cos, sin,
               + jnp.einsum('bshr,bkr->bhsk', q_pe.astype(F32),
                            kpe_full.astype(F32))) * scale
     Smax = ckv_full.shape[1]
-    kv_idx = jnp.arange(Smax)[None, :]
-    q_idx = pos + jnp.arange(S)[:, None]
-    scores = jnp.where((kv_idx <= q_idx)[None, None], scores, -jnp.inf)
+    kv_idx = jnp.arange(Smax)
+    if per_slot:
+        q_idx = pos[:, None, None] + jnp.arange(S)[None, :, None]
+        valid = (kv_idx[None, None, :] <= q_idx)[:, None]  # [B,1,S,Smax]
+    else:
+        q_idx = pos + jnp.arange(S)[:, None]
+        valid = (kv_idx[None, :] <= q_idx)[None, None]     # [1,1,S,Smax]
+    scores = jnp.where(valid, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     ctx_lat = jnp.einsum('bhsk,bkc->bshc', probs,
                          ckv_full.astype(F32))                # [B,S,H,dc]
@@ -118,10 +133,15 @@ def _mla_block_cached(bp: Dict, cfg: DS.DeepseekConfig, x, cos, sin,
 
 def mla_forward_cached(params: Dict, cfg: DS.DeepseekConfig, ids,
                        cache: Dict, qmap=None) -> Tuple[jax.Array, Dict]:
-    """Run ``ids`` against the latent cache; returns (logits, cache)."""
+    """Run ``ids`` against the latent cache; returns (logits, cache).
+    ``cache['pos']`` may be scalar (lockstep) or per-slot [B] (engine)."""
     S = ids.shape[1]
     x = params['embed_tokens']['w'][ids]
-    positions = cache['pos'] + jnp.arange(S)[None, :]
+    pos0 = cache['pos']
+    if getattr(pos0, 'ndim', 0) == 1:
+        positions = pos0[:, None] + jnp.arange(S)[None, :]
+    else:
+        positions = pos0 + jnp.arange(S)[None, :]
     cos, sin = DS.rope_freqs(cfg, positions)
     for layer, bp in enumerate(params['blocks']):
         x, cache = _mla_block_cached(bp, cfg, x, cos, sin, cache, layer,

@@ -103,9 +103,11 @@ def test_shortgpt_removes_layers():
     res = run_pipeline(_sparse_config('ShortGPT',
                                       {'n_prune_layers': 1}))
     model, opt = res['model'], res['opt']
-    assert model.n_blocks == 2
-    removed = opt.deploy()
-    assert len(removed) == 1
+    # the reference removes layers at deploy('origin_float') ahead of the
+    # transformed eval (eval/utils.py:83-84) — the pipeline already pruned
+    assert model.n_blocks == 1
+    # deploy is idempotent: a second call must not prune again
+    assert opt.deploy() == []
     assert model.n_blocks == 1
     ids = jnp.zeros((1, 4), jnp.int32)
     assert np.isfinite(np.asarray(model.forward_logits(ids))).all()

@@ -12,9 +12,10 @@ ci_check) and diff the PPLs at every eval position.
 Usage:
     python tools/parity.py --workdir /tmp/parity --out PARITY.md
 
-Methods covered: AWQ W4A16 (ci_check/awq_w4a16_fakequant_eval.yml
-shape), GPTQ W4A16 (ci_check/gptq_w_only.yml shape), RTN W4A16,
-SmoothQuant W8A8 and HQQ W4A16.
+Methods covered (20): AWQ, GPTQ, RTN, SmoothQuant, HQQ, QuaRot, OsPlus,
+LlmInt8, OmniQuant, TesseraQ, NormTweaking, SpQR, KVQuant (decode-PPL
+protocol), AdaDim, QUIK, DGQ, Weight48 (bit: 48 double quantization),
+and the sparsifiers Wanda, Magnitude, ShortGPT.
 """
 
 import argparse
@@ -436,13 +437,167 @@ _cfg_wanda.arch = 'llama'
 _cfg_wanda.positions = ('pretrain', 'transformed')
 
 
+def _cfg_adadim(ckpt, calib_dir, eval_dir):
+    # per-layer oc/ic dim search (configs/quantization/methods/AdaDim/
+    # adadim_w_a.yml: W8A8 per_channel/per_token)
+    return {
+        'base': {'seed': 0},
+        'model': {'type': 'Opt', 'path': ckpt, 'torch_dtype': 'auto'},
+        'calib': {'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                  'n_samples': 4, 'bs': 1, 'seq_len': 32,
+                  'preproc': 'wikitext2_gptq', 'seed': 0},
+        'eval': {'eval_pos': ['pretrain', 'fake_quant'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'quant': {'method': 'AdaDim',
+                  'weight': {'bit': 8, 'symmetric': True,
+                             'granularity': 'per_channel',
+                             'group_size': -1},
+                  'act': {'bit': 8, 'symmetric': True,
+                          'granularity': 'per_token'},
+                  'quant_out': True},
+    }
+
+
+def _cfg_quik(ckpt, calib_dir, eval_dir):
+    # mixed int/fp columns by activation absmax (configs/quantization/
+    # methods/QUIK/quik.yml; fp_features scaled to the 64-d tiny model).
+    # Llama, not OPT: the reference's QUIK a_qdq indexes act[:, :, ids]
+    # (quik.py:145-150) and OPT's MLP runs on 2-D flattened activations.
+    return {
+        'base': {'seed': 0},
+        'model': {'type': 'Llama', 'path': ckpt,
+                  'torch_dtype': 'torch.float32'},
+        'calib': {'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                  'n_samples': 4, 'bs': 1, 'seq_len': 32,
+                  'preproc': 'wikitext2_gptq', 'seed': 0},
+        'eval': {'eval_pos': ['pretrain', 'transformed', 'fake_quant'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'quant': {'method': 'QUIK',
+                  'weight': {'bit': 8, 'symmetric': True,
+                             'granularity': 'per_channel',
+                             'group_size': -1},
+                  'act': {'bit': 8, 'symmetric': True,
+                          'granularity': 'per_token'},
+                  'special': {'fp_relative': False, 'fp_features': 8,
+                              'fp_threshold': 0.0, 'last_fc_bit': 8}},
+    }
+
+
+_cfg_quik.arch = 'llama'
+
+
+def _cfg_dgq(ckpt, calib_dir, eval_dir):
+    # dual-grain W4(A8): int4 per-group scales re-quantized by int8
+    # per-channel super-scales (configs/quantization/methods/DGQ/
+    # dgq_w_a.yml)
+    return {
+        'base': {'seed': 0},
+        'model': {'type': 'Opt', 'path': ckpt, 'torch_dtype': 'auto'},
+        'calib': {'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                  'n_samples': 1, 'bs': 1, 'seq_len': 32,
+                  'preproc': 'wikitext2_gptq', 'seed': 0},
+        'eval': {'eval_pos': ['pretrain', 'fake_quant'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'quant': {'method': 'DGQ',
+                  'weight': {'w_1': {'bit': 4, 'symmetric': False,
+                                     'granularity': 'per_group',
+                                     'group_size': 16},
+                             'w_2': {'bit': 8, 'symmetric': True,
+                                     'granularity': 'per_channel'}},
+                  'act': {'bit': 8, 'symmetric': True,
+                          'granularity': 'per_token'}},
+    }
+
+
+def _cfg_w48(ckpt, calib_dir, eval_dir):
+    # Weight48 double quantization: int8 per-channel then the int8 codes
+    # to int4 per-group, with scale/zero bit budgets and an int_range
+    # clamp (configs/quantization/methods/RTN/rtn_w_a_wint4aint8.yml)
+    return {
+        'base': {'seed': 42},
+        'model': {'type': 'Opt', 'path': ckpt, 'torch_dtype': 'auto'},
+        'eval': {'eval_pos': ['pretrain', 'fake_quant'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'quant': {'method': 'RTN',
+                  # top-level granularity: needed by the reference's act
+                  # branch (base_blockwise_quantization.py:165) and
+                  # dropped from its W48 ctor by ref_pipeline's adapter
+                  'weight': {'bit': 48, 'granularity': 'per_channel',
+                             'bit4': {'symmetric': False,
+                                      'granularity': 'per_group',
+                                      'group_size': 16,
+                                      'scales_bit': 8,
+                                      'scales_symmetric': True,
+                                      'zeros_bit': 8,
+                                      'zeros_symmetric': True},
+                             'bit8': {'symmetric': True,
+                                      'granularity': 'per_channel',
+                                      'int_range': [-120, 120]}},
+                  'act': {'bit': 8, 'symmetric': True,
+                          'granularity': 'per_token'}},
+    }
+
+
+def _cfg_magnitude(ckpt, calib_dir, eval_dir):
+    # magnitude pruning (configs/sparsification/methods/Magnitude/
+    # magnitude.yml)
+    return {
+        'base': {'seed': 42},
+        'model': {'type': 'Llama', 'path': ckpt,
+                  'torch_dtype': 'torch.float32'},
+        'calib': {'name': 'pileval', 'download': False, 'path': eval_dir,
+                  'n_samples': 8, 'bs': -1, 'seq_len': 32,
+                  'preproc': 'txt_general_preproc', 'seed': 42},
+        'eval': {'eval_pos': ['pretrain', 'transformed'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'sparse': {'method': 'Magnitude',
+                   'weight': {'sparsity': 0.5},
+                   'sparsity_out': False},
+    }
+
+
+_cfg_magnitude.arch = 'llama'
+_cfg_magnitude.positions = ('pretrain', 'transformed')
+
+
+def _cfg_shortgpt(ckpt, calib_dir, eval_dir):
+    # Block-Influence layer removal (configs/sparsification/methods/
+    # ShortGPT/shortgpt.yml; n_prune_layers scaled to the 2-layer tiny
+    # model)
+    return {
+        'base': {'seed': 42},
+        'model': {'type': 'Llama', 'path': ckpt,
+                  'torch_dtype': 'torch.float32'},
+        'calib': {'name': 'pileval', 'download': False, 'path': eval_dir,
+                  'n_samples': 8, 'bs': -1, 'seq_len': 32,
+                  'preproc': 'txt_general_preproc', 'seed': 42},
+        'eval': {'eval_pos': ['pretrain', 'transformed'],
+                 'name': 'wikitext2', 'download': False, 'path': eval_dir,
+                 'bs': 1, 'seq_len': 32},
+        'sparse': {'method': 'ShortGPT',
+                   'weight': {'n_prune_layers': 1}},
+    }
+
+
+_cfg_shortgpt.arch = 'llama'
+_cfg_shortgpt.positions = ('pretrain', 'transformed')
+
+
 CONFIGS = {'AWQ-W4A16': _cfg_awq, 'GPTQ-W4A16': _cfg_gptq,
            'RTN-W4A16': _cfg_rtn, 'SmoothQuant-W8A8': _cfg_smoothquant,
            'HQQ-W4A16': _cfg_hqq, 'QuaRot-W4': _cfg_quarot,
            'OsPlus-W8A8': _cfg_osplus, 'LlmInt8-W8A8': _cfg_llmint8,
            'OmniQuant-W4A16': _cfg_omniq, 'TesseraQ-W4A16': _cfg_tesseraq,
            'NormTweaking-W4A16': _cfg_ntweak, 'SpQR-W4A16': _cfg_spqr,
-           'KVQuant-decodePPL': _cfg_kv_decode, 'Wanda-50': _cfg_wanda}
+           'KVQuant-decodePPL': _cfg_kv_decode, 'Wanda-50': _cfg_wanda,
+           'AdaDim-W8A8': _cfg_adadim, 'QUIK-W8A8': _cfg_quik,
+           'DGQ-W4A8': _cfg_dgq, 'RTN-W48A8': _cfg_w48,
+           'Magnitude-50': _cfg_magnitude, 'ShortGPT-prune1': _cfg_shortgpt}
 
 
 def run_reference(cfg_path, out_path):

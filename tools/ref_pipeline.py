@@ -200,6 +200,26 @@ def patch_ref_bugs():
             subset = {'layers': layers_dict, 'input': [input_name]}
             return orig(self, subset, input_feat, subset_kwargs)
         Wanda.subset_transform = subset_transform
+    # Magnitude has the same stale 3-arg subset_transform signature as
+    # Wanda (magnitude.py:15-19 vs its own block_transform 6-arg call at
+    # :46-53) — uncallable as shipped.  While adapting, the mask
+    # assignment `W[W_mask] = 0` also sits OUTSIDE the per-layer loop
+    # (magnitude.py:23-31), so only the subset's LAST layer would be
+    # pruned; the rewritten adapter applies the mask per layer, matching
+    # the loop's evident intent (and Wanda's per-layer masking).
+    from llmc.compression.sparsification.magnitude import Magnitude as _Mag
+    import torch as _torch2
+
+    def _mag_subset_transform(self, layers_dict, input_feat, prev_op,
+                              input_name, inspect_module, subset_kwargs):
+        for layer in layers_dict.values():
+            W = layer.weight.data
+            W_metric = _torch2.abs(W)
+            thresh = _torch2.sort(W_metric.flatten())[0][
+                int(W.numel() * self.sparser.sparsity)].cpu()
+            W[W_metric <= thresh] = 0
+
+    _Mag.subset_transform = _mag_subset_transform
     # Wanda/Magnitude also read `self.sparser.sparsity`, but the base
     # only ever sets `self.sparsity` (base_blockwise_sparsification.py
     # :41) — another stale-API crash; bridge it with a property.
@@ -258,6 +278,55 @@ def patch_ref_bugs():
         return hook
 
     _bo.BlockwiseOpt.kv_cache_input_hook = kv_cache_input_hook
+    # Weight48 (bit: 48) + act quant is uncallable upstream: the weight
+    # section carries no top-level 'granularity', but set_quant_config
+    # reads quant_config['weight']['granularity'] unconditionally when
+    # 'act' is present (base_blockwise_quantization.py:165) -> KeyError
+    # on the shipped rtn_w_a_wint4aint8.yml shape.  Supplying one then
+    # crashes Weight48IntegerQuantizer instead (granularity is also
+    # forwarded via **kwargs into BaseQuantizer's positional granularity,
+    # quant.py:1234/46 -> duplicate argument).  Adapt: configs carry
+    # granularity, the W48 constructor drops it.
+    from llmc.compression.quantization import quant as _q
+    _w48_orig = _q.Weight48IntegerQuantizer.__init__
+
+    def _w48_init(self, bit, bit4, bit8, **kw):
+        kw.pop('granularity', None)
+        kw.pop('symmetric', None)
+        _w48_orig(self, bit, bit4, bit8, **kw)
+
+    _q.Weight48IntegerQuantizer.__init__ = _w48_init
+    # DGQ overrides set_quant_config (dgq.py:40-64) and predates the
+    # attributes the base block_opt/deploy now read unconditionally
+    # (quant_kvcache at base_blockwise_quantization.py:394, act_static,
+    # quant_attn, ...) -> AttributeError as shipped.  Default them.
+    from llmc.compression.quantization.dgq import DGQ as _DGQ
+    _dgq_sqc = _DGQ.set_quant_config
+
+    def _dgq_set_quant_config(self):
+        _dgq_sqc(self)
+        for attr, val in (('quant_kvcache', False), ('act_static', False),
+                          ('quant_attn', False), ('quant_softmax', False),
+                          ('quant_act_fn', False), ('mixed_precision',
+                                                    False),
+                          ('tp', 1), ('true_sequential', False)):
+            if not hasattr(self, attr):
+                setattr(self, attr, val)
+        if not hasattr(self, 'modality'):   # base sets it at :257
+            self.modality = self.quant_config.get('modality', 'language')
+        if not hasattr(self, 'wquantizer'):  # deploy partials w_qdq with
+            # self.wquantizer (:92); DGQ's own w_qdq ignores the kwarg
+            self.wquantizer = self.wquantizer_w4
+
+    _DGQ.set_quant_config = _dgq_set_quant_config
+
+    # ...and its searches call self.a_qdq(act) with the OLD 1-arg
+    # signature (dgq.py:204/255) while the base now requires
+    # (act, module, aquantizer) — default them to the dynamic path.
+    def _dgq_a_qdq(self, act, module=None, aquantizer=None, input_index=0):
+        return self.aquantizer.fake_quant_act_dynamic(act)
+
+    _DGQ.a_qdq = _dgq_a_qdq
 
 
 def run(config_path: str) -> dict:
