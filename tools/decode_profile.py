@@ -1,17 +1,25 @@
 """Component-isolation profile of one 7B W4A16 decode step on the TPU.
 
-Times, per decode step at the bench configuration (B=64, fp KV):
-  full         - the bench's exact decode scan (reference point)
-  tiny_cache   - same program with an (almost) empty KV cache: the step
-                 minus KV-cache reads => isolates attention-read cost
-  w4_stream    - scan over ONLY the stacked packed linears (the Pallas
-                 w4 kernel stream): achieved weight-stream efficiency
-  bf16_stream  - same matmul shapes in plain bf16: the chip's best case
-  lm_head      - the head matmul alone
-  b128         - full step at B=128 (MXU tile utilisation check)
+Round-4 shape (matches bench.py defaults): B=128, int8 KV, packed w4
+lm_head, UNROLLED layer loop.  Terms, per decode step:
+
+  full          - the bench's exact decode scan (reference point)
+  tiny_cache    - same program, (almost) empty KV cache: full minus
+                  KV reads => attention-read cost = full - tiny_cache
+  w4_stream     - ONLY the 4 fused packed linears x 32 layers (the
+                  Pallas w4 kernel stream)
+  lm_head       - the packed w4 head matmul alone
+  bf16_stream   - same linear shapes in plain bf16 (chip best case)
+  glue          - full - w4_stream - attention - head (norms, rope,
+                  sampling, embed, cache write)
+
+Each term is printed with its own HBM byte count and implied GB/s so
+the per-term roofline fractions can be read directly (PERF.md r4).
 
 Run on the real chip (no JAX_PLATFORMS override):
     python tools/decode_profile.py
+Env: PROF_BATCH (128), PROF_STEPS (64), PROF_KV (int8|fp),
+     PROF_HEAD (packed|fp).
 """
 
 import functools
@@ -29,8 +37,7 @@ import numpy as np
 from llmc_tpu.models import LlamaConfig
 from llmc_tpu.ops.dequant_matmul import dequant_matmul
 from llmc_tpu.quant import QuantSpec
-from llmc_tpu.serve.decode import (forward_cached, init_cache,
-                                   stack_block_params)
+from llmc_tpu.serve.decode import forward_cached
 from llmc_tpu.serve.kvcache import KVCachePolicy
 from llmc_tpu.serve.packed import random_packed_llama
 
@@ -56,44 +63,40 @@ def time_fn(fn, *args, reps=3):
     return med(ts)
 
 
-def decode_loop(cfg, policy, qmap, params, stacked, B, prefill, steps,
-                max_len):
-    ids = jnp.asarray(np.random.RandomState(0).randint(
-        0, cfg.vocab_size, size=(B, prefill)), jnp.int32)
+def decode_loop(cfg, policy, qmap, params, B, prefill, steps, max_len):
+    """Bench-shaped loop: unrolled layers (params carry blocks),
+    donated cache, fresh prompt per round."""
+    rs = np.random.RandomState(0)
+    ids_rounds = jnp.asarray(rs.randint(
+        0, cfg.vocab_size, size=(8, B, prefill)), jnp.int32)
+    rix = iter(range(8))
 
-    @functools.partial(jax.jit, donate_argnums=(3,))
-    def prefill_fn(params, stacked, ids, cache):
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def prefill_fn(params, ids, cache):
         logits, cache = forward_cached(params, cfg, ids, cache, policy,
-                                       qmap, stacked_blocks=stacked)
+                                       qmap, last_only=True, unroll=True)
         return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
 
-    @functools.partial(jax.jit, donate_argnums=(3,))
-    def decode_n(params, stacked, tok, cache):
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def decode_n(params, tok, cache):
         def step(carry, _):
             tok, cache = carry
             logits, cache = forward_cached(params, cfg, tok[:, None],
-                                           cache, policy, qmap,
-                                           stacked_blocks=stacked)
+                                           cache, policy, qmap)
             return (jnp.argmax(logits[:, -1], -1).astype(jnp.int32),
                     cache), None
         (tok, cache), _ = jax.lax.scan(step, (tok, cache), None,
                                        length=steps)
         return tok, cache
 
-    class Model:
-        pass
-    m = Model()
-    m.cfg = cfg
-    m.params = {'blocks': []}
-
     def one():
         cache = policy.init_cache(B, max_len, cfg.num_key_value_heads,
                                   cfg.head_dim, cfg.num_hidden_layers,
                                   dtype=cfg.jdtype)
-        tok, cache = prefill_fn(params, stacked, ids, cache)
+        tok, cache = prefill_fn(params, ids_rounds[next(rix)], cache)
         np.asarray(tok)
         t0 = time.time()
-        tok2, cache = decode_n(params, stacked, tok, cache)
+        tok2, cache = decode_n(params, tok, cache)
         np.asarray(tok2)
         dt = time.time() - t0
         del cache
@@ -105,35 +108,36 @@ def decode_loop(cfg, policy, qmap, params, stacked, B, prefill, steps,
 
 def main():
     cfg = cfg7b()
-    B = int(os.environ.get('PROF_BATCH', 64))
+    B = int(os.environ.get('PROF_BATCH', 128))
     steps = int(os.environ.get('PROF_STEPS', 64))
+    kv_mode = os.environ.get('PROF_KV', 'int8')
+    head_mode = os.environ.get('PROF_HEAD', 'packed')
     wspec = QuantSpec(bit=4, symmetric=True, granularity='per_group',
                       group_size=128)
-    model, qmap = random_packed_llama(cfg, wspec, fuse=True)
-    policy = KVCachePolicy(method='fp')
-    params = dict(model.params, blocks=[])
-    stacked = stack_block_params(model.params['blocks'])
-    model.params['blocks'] = []
-    import gc
-    gc.collect()
-    out = {}
+    model, qmap = random_packed_llama(cfg, wspec, fuse=True,
+                                      head=head_mode == 'packed')
+    policy = (KVCachePolicy(method='naive', bit=8) if kv_mode == 'int8'
+              else KVCachePolicy(method='fp'))
+    params = model.params          # blocks kept: unrolled layer loop
+    out = {'batch': B, 'kv': kv_mode, 'head': head_mode}
 
     # 1. full bench-shaped loop
-    out['full_ms'] = decode_loop(cfg, policy, qmap, params, stacked,
+    out['full_ms'] = decode_loop(cfg, policy, qmap, params,
                                  B, 32, steps, 32 + steps) * 1e3
 
     # 2. tiny cache: prefill 1 token, short max_len -> KV reads ~ nil
-    out['tiny_cache_ms'] = decode_loop(cfg, policy, qmap, params, stacked,
+    out['tiny_cache_ms'] = decode_loop(cfg, policy, qmap, params,
                                        B, 1, steps, 1 + steps) * 1e3
 
-    # 3. w4 weight stream: just the 4 fused linears x 32 layers via scan
+    # 3. w4 weight stream: just the 4 fused linears x 32 layers
     def run_lin(p, x, path):
         qc = qmap.get(path)
         return dequant_matmul(x, p['qweight'], p['scales'],
                               p.get('zeros'), qc.qmeta)
 
-    def w4_stream(stacked, x0):
-        def step(x, bp):
+    def w4_stream(params, x0):
+        x = x0
+        for bp in params['blocks']:
             a = bp['self_attn']
             qkv = run_lin(a['qkv_proj'], x, 'self_attn.qkv_proj')
             o = run_lin(a['o_proj'], qkv[..., :cfg.hidden_size],
@@ -144,19 +148,17 @@ def main():
                          'mlp.down_proj')
             x = x0 * (1 + dn.astype(jnp.float32).mean() * 1e-9
                       ).astype(x0.dtype)
-            return x, None
-        x, _ = jax.lax.scan(step, x0, stacked)
         return x
 
     x0 = jnp.ones((B, cfg.hidden_size), cfg.jdtype)
 
     @jax.jit
-    def w4_loop(stacked, x0):
+    def w4_loop(params, x0):
         def outer(x, _):
-            return w4_stream(stacked, x), None
+            return w4_stream(params, x), None
         x, _ = jax.lax.scan(outer, x0, None, length=8)
         return x
-    dt = time_fn(w4_loop, stacked, x0)
+    dt = time_fn(w4_loop, params, x0)
     out['w4_stream_ms'] = dt / 8 * 1e3
 
     # 4. bf16 stream of the same shapes
@@ -186,29 +188,43 @@ def main():
     dt = time_fn(bf16_loop, (qkv_w, o_w, gu_w, dn_w), x0)
     out['bf16_stream_ms'] = dt / 8 * 1e3
 
-    # 5. head alone
-    head_w = jnp.ones((D, cfg.vocab_size), jnp.bfloat16)
+    # 5. head alone (same storage the bench serves: packed w4 or bf16)
+    from llmc_tpu.models import llama as L
 
     @jax.jit
-    def head_loop(w, x0):
+    def head_loop(params, x0):
         def step(x, _):
-            y = x @ w
+            y = L.head_apply(params, cfg, x[:, None], qmap=qmap)
             return x0 * (1 + y.astype(jnp.float32).mean() * 1e-9
                          ).astype(x0.dtype), None
         x, _ = jax.lax.scan(step, x0, None, length=64)
         return x
-    dt = time_fn(head_loop, head_w, x0)
+    dt = time_fn(head_loop, params, x0)
     out['lm_head_ms'] = dt / 64 * 1e3
 
-    # 6. full loop at B=128
-    try:
-        out['b128_full_ms'] = decode_loop(cfg, policy, qmap, params,
-                                          stacked, 128, 32, steps,
-                                          32 + steps) * 1e3
-        out['b128_tokens_per_s'] = 128 / (out['b128_full_ms'] / 1e3)
-    except Exception as e:      # OOM guard
-        out['b128_error'] = str(e)[:200]
-
+    # ---- per-term byte-rooflines (int8-KV/packed-head aware) --------
+    H, KVH, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    Lc = cfg.num_hidden_layers
+    lin_params = Lc * (D * hd * (H + 2 * KVH) + H * hd * D + 3 * D * I)
+    w4_bytes = lin_params * 0.5 + lin_params / wspec.group_size * 4
+    if head_mode == 'packed':
+        head_bytes = (cfg.vocab_size * D * 0.5
+                      + cfg.vocab_size * (D / wspec.group_size) * 8)
+    else:
+        head_bytes = cfg.vocab_size * D * 2
+    valid = 32 + steps / 2
+    kv_elt = (1 + 4.0 / hd) if kv_mode == 'int8' else 2
+    kv_bytes = 2 * Lc * B * valid * KVH * hd * kv_elt
+    attn_ms = out['full_ms'] - out['tiny_cache_ms']
+    glue_ms = (out['tiny_cache_ms'] - out['w4_stream_ms']
+               - out['lm_head_ms'])
+    out['attention_ms'] = attn_ms
+    out['glue_ms'] = glue_ms
+    out['w4_stream_gbs'] = w4_bytes / (out['w4_stream_ms'] / 1e3) / 1e9
+    out['lm_head_gbs'] = head_bytes / (out['lm_head_ms'] / 1e3) / 1e9
+    if attn_ms > 0:
+        out['attention_gbs'] = kv_bytes / (attn_ms / 1e3) / 1e9
     out['tokens_per_s_full'] = B / (out['full_ms'] / 1e3)
     print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
                       for k, v in out.items()}))
