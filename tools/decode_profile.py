@@ -121,13 +121,23 @@ def main():
     params = model.params          # blocks kept: unrolled layer loop
     out = {'batch': B, 'kv': kv_mode, 'head': head_mode}
 
+    def note(k):
+        import sys as _sys
+        print(json.dumps({k: round(out[k], 3)}), file=_sys.stderr,
+              flush=True)
+
     # 1. full bench-shaped loop
     out['full_ms'] = decode_loop(cfg, policy, qmap, params,
                                  B, 32, steps, 32 + steps) * 1e3
+    note('full_ms')
 
-    # 2. tiny cache: prefill 1 token, short max_len -> KV reads ~ nil
+    # 2. tiny cache: SAME max_len (so the chunked-attention program is
+    # identical) but a 1-token prefill: the valid KV prefix per step is
+    # ~31 tokens shorter on average.  attention/token = delta/31;
+    # attention at the bench's average valid length = that * (32+steps/2)
     out['tiny_cache_ms'] = decode_loop(cfg, policy, qmap, params,
-                                       B, 1, steps, 1 + steps) * 1e3
+                                       B, 1, steps, 32 + steps) * 1e3
+    note('tiny_cache_ms')
 
     # 3. w4 weight stream: just the 4 fused linears x 32 layers
     def run_lin(p, x, path):
@@ -146,8 +156,10 @@ def main():
             gu = run_lin(m['gate_up_proj'], o, 'mlp.gate_up_proj')
             dn = run_lin(m['down_proj'], gu[..., :cfg.intermediate_size],
                          'mlp.down_proj')
-            x = x0 * (1 + dn.astype(jnp.float32).mean() * 1e-9
-                      ).astype(x0.dtype)
+            # chain layers with an elementwise add (no cross-lane
+            # reduce: a scalar mean per layer serializes the stream and
+            # overstates the term)
+            x = (x0 + dn * 1e-9).astype(x0.dtype)
         return x
 
     x0 = jnp.ones((B, cfg.hidden_size), cfg.jdtype)
@@ -160,6 +172,7 @@ def main():
         return x
     dt = time_fn(w4_loop, params, x0)
     out['w4_stream_ms'] = dt / 8 * 1e3
+    note('w4_stream_ms')
 
     # 4. bf16 stream of the same shapes
     D, I = cfg.hidden_size, cfg.intermediate_size
@@ -187,6 +200,7 @@ def main():
         return x
     dt = time_fn(bf16_loop, (qkv_w, o_w, gu_w, dn_w), x0)
     out['bf16_stream_ms'] = dt / 8 * 1e3
+    note('bf16_stream_ms')
 
     # 5. head alone (same storage the bench serves: packed w4 or bf16)
     from llmc_tpu.models import llama as L
@@ -201,6 +215,7 @@ def main():
         return x
     dt = time_fn(head_loop, params, x0)
     out['lm_head_ms'] = dt / 64 * 1e3
+    note('lm_head_ms')
 
     # ---- per-term byte-rooflines (int8-KV/packed-head aware) --------
     H, KVH, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
@@ -216,7 +231,8 @@ def main():
     valid = 32 + steps / 2
     kv_elt = (1 + 4.0 / hd) if kv_mode == 'int8' else 2
     kv_bytes = 2 * Lc * B * valid * KVH * hd * kv_elt
-    attn_ms = out['full_ms'] - out['tiny_cache_ms']
+    per_tok_ms = (out['full_ms'] - out['tiny_cache_ms']) / 31.0
+    attn_ms = per_tok_ms * (32 + steps / 2)
     glue_ms = (out['tiny_cache_ms'] - out['w4_stream_ms']
                - out['lm_head_ms'])
     out['attention_ms'] = attn_ms
