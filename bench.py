@@ -209,13 +209,17 @@ def main():
     policy = (KVCachePolicy(method='naive', bit=8) if kv_mode == 'int8'
               else KVCachePolicy(method='fp'))
     params = model.params
-    # BENCH_UNROLL=0 re-enables the scan-over-stacked-layers path.  The
-    # inner scan CARRIES the whole KV cache, and XLA double-buffers
-    # nested-scan carries: an extra cache-sized HBM buffer AND real
-    # copy traffic (measured 5013 -> 5800 tok/s unrolled at B=128).
-    # The unrolled loop updates the cache buffers in place; weights come
-    # from static slices of the stacked arrays.
-    unroll = os.environ.get('BENCH_UNROLL', '1') == '1'
+    # BENCH_UNROLL: 1 = unrolled layer loop, 0 = scan-over-stacked-
+    # layers, auto (default) = serve.decode.prefer_unroll — unrolled
+    # in-place cache updates win below the 2^31-element buffer boundary
+    # (6242 vs 5086 tok/s at B=128), the scan carry wins above it
+    # (5722 vs 2128 at B=256, where XLA's in-place update lowering
+    # degrades into whole-buffer copies).
+    from llmc_tpu.serve.decode import prefer_unroll
+    um = os.environ.get('BENCH_UNROLL', 'auto')
+    unroll = (prefer_unroll(B, max_len, cfg.num_key_value_heads,
+                            cfg.head_dim, cfg.num_hidden_layers)
+              if um == 'auto' else um == '1')
     if unroll:
         stacked = None
     else:
@@ -350,6 +354,7 @@ def main():
         'hbm_bw_sustained_gbs': round(bw_meas / 1e9, 1),
         'vs_sustained': round(frac_sustained, 4),
         'mxu_sustained_tflops': round(tf_meas, 1),
+        'layer_loop': 'unroll' if unroll else 'scan',
     }))
 
 

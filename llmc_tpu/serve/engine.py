@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .decode import (blocks_homogeneous, forward_cached,
+from .decode import (blocks_homogeneous, forward_cached, prefer_unroll,
                      stack_block_params)
 from .kvcache import KVCachePolicy
 
@@ -189,10 +189,16 @@ class ServingEngine:
             from .mla_decode import mla_forward_cached
             return mla_forward_cached(params, self.cfg, ids, cache,
                                       self.qmap)
+        # unroll below the 2^31-element cache-buffer boundary, scan
+        # above it (decode.prefer_unroll: in-place updates degrade to
+        # whole-buffer copies past the boundary)
+        unroll = stacked is not None and prefer_unroll(
+            self.B, self.S, self.cfg.num_key_value_heads,
+            self.cfg.head_dim, self.cfg.num_hidden_layers)
         return forward_cached(params, self.cfg, ids, cache,
                               policy or self.policy, self.qmap,
                               stacked_blocks=stacked,
-                              unroll=stacked is not None)
+                              unroll=unroll)
 
     def _decode_step(self, params, stacked, toks, cache, active, key):
         pos_before = cache['pos']
