@@ -144,5 +144,80 @@ def main():
                           round(head_flops / lin_flops, 4)}), flush=True)
 
 
+def prefill_ab():
+    """A/B the FULL bench prefill: shipped Pallas w4 vs XLA
+    dequant-to-bf16 + dense dot for every linear (run via
+    `python tools/prefill_probe.py ab`)."""
+    import llmc_tpu.ops.dequant_matmul as DQ
+    from llmc_tpu.models import LlamaConfig
+    from llmc_tpu.serve.decode import forward_cached
+    from llmc_tpu.serve.kvcache import KVCachePolicy
+    from llmc_tpu.serve.packed import random_packed_llama
+    rng = np.random.RandomState(0)
+    cfg = LlamaConfig(vocab_size=32000, hidden_size=4096,
+                      intermediate_size=11008, num_hidden_layers=32,
+                      num_attention_heads=32, num_key_value_heads=32,
+                      head_dim=128, dtype='bfloat16')
+    wspec = QuantSpec(bit=4, symmetric=True, granularity='per_group',
+                      group_size=128)
+    model, qmap = random_packed_llama(cfg, wspec, fuse=True, head=True)
+    policy = KVCachePolicy(method='naive', bit=8)
+    params = model.params
+    B, P = 128, 32
+    ids_rounds = jnp.asarray(rng.randint(
+        0, cfg.vocab_size, size=(16, B, P)), jnp.int32)
+    rix = iter(range(16))
+
+    orig = DQ.dequant_matmul
+
+    def make_prefill():
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def prefill(params, ids, cache):
+            logits, cache = forward_cached(params, cfg, ids, cache,
+                                           policy, qmap, last_only=True,
+                                           unroll=True)
+            return (jnp.argmax(logits[:, -1], -1).astype(jnp.int32),
+                    cache)
+        return prefill
+
+    def ttft(prefill):
+        def one():
+            cache = policy.init_cache(B, P + 64, cfg.num_key_value_heads,
+                                      cfg.head_dim,
+                                      cfg.num_hidden_layers,
+                                      dtype=cfg.jdtype)
+            jax.block_until_ready(cache['pos'])
+            pid = ids_rounds[next(rix)]
+            np.asarray(pid[0, 0])
+            t0 = time.time()
+            tok, cache = prefill(params, pid, cache)
+            np.asarray(tok)
+            return time.time() - t0
+        one()
+        return sorted(one() for _ in range(5))[2]
+
+    t_pallas = ttft(make_prefill())
+
+    def forced(x, packed, scales, zeros, meta, force_xla=False,
+               out_dtype=None):
+        return orig(x, packed, scales, zeros, meta, force_xla=True,
+                    out_dtype=out_dtype)
+
+    DQ.dequant_matmul = forced
+    try:
+        t_xla = ttft(make_prefill())
+    finally:
+        DQ.dequant_matmul = orig
+    lin_flops = 2.0 * B * P * 6.46e9
+    print(json.dumps({
+        'prefill_pallas_ms': round(t_pallas * 1e3, 1),
+        'prefill_xla_dequant_ms': round(t_xla * 1e3, 1),
+        'pallas_tflops': round(lin_flops / t_pallas / 1e12, 1),
+        'xla_tflops': round(lin_flops / t_xla / 1e12, 1)}), flush=True)
+
+
 if __name__ == '__main__':
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == 'ab':
+        prefill_ab()
+    else:
+        main()
