@@ -67,6 +67,9 @@ def _chunk_for(smax: int):
     # the dynamic-slice read into a whole-buffer copy that XLA hoists as
     # a cache-sized temp (observed: 4 GB copy(cache_k) per decode step
     # at max_len 128 -> compile OOM at B=128)
+    force = int(_os.environ.get('LLMC_CHUNK_SIZE', '0'))
+    if force and smax % force == 0 and (force < smax or smax <= 32):
+        return force
     for c in _CHUNK_OPTS:
         if smax % c == 0 and (c < smax or smax <= 32):
             return c
