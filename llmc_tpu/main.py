@@ -156,8 +156,13 @@ def run_pipeline(config: Dict) -> Dict:
     if save.get('save_trans') or save.get('save_fake'):
         from .models.hf_loader import save_llama_params_to_hf
         out = save.get('save_path', './save')
-        if save.get('save_fake') and blockwise_opt is not None:
+        # skip if a fake_quant deploy already baked the qdq (e.g. w48 +
+        # eval): a second pass would recompute minmax qparams on
+        # already-quantized weights and shift codes (ADVICE r4)
+        if save.get('save_fake') and blockwise_opt is not None \
+                and not getattr(blockwise_opt, '_baked', False):
             blockwise_opt.bake_fake_quant_weights()
+            blockwise_opt._baked = True
         save_llama_params_to_hf(model.params, out, model.hf_config)
         results['saved_to'] = out
     backends = {'save_vllm': 'vllm', 'save_sgl': 'sgl',

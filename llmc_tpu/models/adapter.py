@@ -452,7 +452,14 @@ class DeepseekV2Adapter(BaseAdapter):
         m = config['model']
         if m.get('path'):
             return cls.from_pretrained(m['path'])
-        cfg = DS.DeepseekConfig(**dict(m.get('arch', {})))
+        # synthetic model ONLY on an explicit 'arch' request: a missing/
+        # typo'd path must fail loudly, not yield a random model whose
+        # quantization results look plausible but are garbage (ADVICE r4)
+        if 'arch' not in m:
+            raise ValueError(
+                "model.path is missing/empty; set model.path to a "
+                "checkpoint or pass model.arch for a synthetic model")
+        cfg = DS.DeepseekConfig(**dict(m['arch']))
         return cls(cfg, DS.init_params(cfg, jax.random.PRNGKey(
             int(m.get('seed', 0)))))
 

@@ -49,6 +49,13 @@ ATTN_IMPL = _os.environ.get('LLMC_ATTN', 'auto')
 # pipeline beats one big einsum, i.e. small B and a long valid prefix.
 FLASH_MAX_B = int(_os.environ.get('LLMC_FLASH_MAX_B', '8'))
 FLASH_MIN_S = int(_os.environ.get('LLMC_FLASH_MIN_S', '4096'))
+# Serving-batch Pallas kernel (ops/batch_decode.py): grid over
+# (B / B_BLK, chunks), one [B_BLK, C, KVH, hd] KV block per grid step
+# with the whole block's softmax vectorized.  Gated OFF by default
+# until it beats the XLA chunked path at serving shapes (PERF.md r5
+# probe: the grid-pipelined DMA currently streams far below the XLA
+# read's bandwidth); force with LLMC_ATTN=batch or LLMC_BATCH_MIN_B.
+BATCH_MIN_B = int(_os.environ.get('LLMC_BATCH_MIN_B', '100000'))
 
 
 def _pick_attn(B: int, smax: int) -> str:
@@ -59,6 +66,8 @@ def _pick_attn(B: int, smax: int) -> str:
         return ATTN_IMPL
     if B <= FLASH_MAX_B and smax >= FLASH_MIN_S:
         return 'flash'
+    if B >= BATCH_MIN_B:
+        return 'batch'
     return 'chunked'
 
 
@@ -244,7 +253,20 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
                and not cfg.use_alibi and not cfg.attn_logit_softcap
                and not cfg.sliding_window)
     impl = _pick_attn(B, Smax)
-    if (impl == 'flash' and attn_ok and 'k_z' not in cache
+    if (impl == 'batch' and attn_ok and 'k_z' not in cache
+            and jax.default_backend() != 'cpu'):
+        from ..ops.batch_decode import batch_decode_attention
+        pos = jnp.broadcast_to(jnp.asarray(cache['pos']), (B,))
+        fp = policy.method == 'fp'
+        ctx = batch_decode_attention(
+            q[:, 0].astype(F32) * scale,
+            cache['k'] if fp else cache['k_q'],
+            cache['v'] if fp else cache['v_q'],
+            None if fp else cache['k_s'],
+            None if fp else cache['v_s'],
+            pos, jnp.asarray(layer, jnp.int32),
+        ).reshape(B, 1, H, hd).astype(x.dtype)
+    elif (impl == 'flash' and attn_ok and 'k_z' not in cache
             and jax.default_backend() != 'cpu'
             and _flash_chunk(Smax, cfg.num_key_value_heads, hd) >= 32):
         from ..ops.flash_decode import flash_decode_attention

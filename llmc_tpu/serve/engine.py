@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .decode import (blocks_homogeneous, forward_cached, prefer_unroll,
+from .decode import (blocks_homogeneous, forward_cached,
                      stack_block_params)
 from .kvcache import KVCachePolicy
 
@@ -50,10 +50,7 @@ class Request:
     done: bool = False
 
 
-def sample_logits(logits, key, temperature: float, top_p: float):
-    """[B, V] logits -> [B] token ids.  temperature==0 -> greedy."""
-    if temperature == 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+def _top_p_filter(logits, temperature: float, top_p: float):
     l = logits.astype(F32) / temperature
     if top_p < 1.0:
         sorted_l = jnp.sort(l, axis=-1)[:, ::-1]
@@ -64,7 +61,34 @@ def sample_logits(logits, key, temperature: float, top_p: float):
         cutoff = jnp.take_along_axis(sorted_l, cutoff_idx[:, None],
                                      axis=-1)               # [B, 1]
         l = jnp.where(l < cutoff, -jnp.inf, l)
+    return l
+
+
+def sample_logits(logits, key, temperature: float, top_p: float):
+    """[B, V] logits -> [B] token ids.  temperature==0 -> greedy."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    l = _top_p_filter(logits, temperature, top_p)
     return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
+
+
+def sample_logits_per_slot(logits, key, nonce, n_gen,
+                           temperature: float, top_p: float):
+    """Per-slot deterministic sampling: slot b's token at its n_gen[b]-th
+    generated position draws from fold_in(fold_in(key, nonce[b]),
+    n_gen[b]) — the sample stream of a request depends only on (seed,
+    admission nonce, position), NOT on which other requests share the
+    batch or on the decode window size.  A global split-per-step stream
+    would make sampled outputs change under co-scheduling (and break
+    K-step-window bit-exactness, tests/test_engine_multistep.py)."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    l = _top_p_filter(logits, temperature, top_p)
+    keys = jax.vmap(lambda n, g: jax.random.fold_in(
+        jax.random.fold_in(key, n), g))(nonce, n_gen)
+    gumbel = jax.vmap(
+        lambda k, row: jax.random.gumbel(k, row.shape) + row)(keys, l)
+    return jnp.argmax(gumbel, axis=-1).astype(jnp.int32)
 
 
 class ServingEngine:
@@ -74,14 +98,20 @@ class ServingEngine:
                  mesh=None, seed: int = 0,
                  prefill_buckets=(32, 64, 128, 256, 512),
                  prefill_chunk: Optional[int] = None,
-                 prefill_chunks_per_step: int = 1):
+                 prefill_chunks_per_step: int = 1,
+                 decode_steps_per_sync: int = 1):
         """``prefill_chunk``: admit requests in chunk-sized prefill
         slices interleaved between decode steps, so active slots never
         stall longer than one chunk's prefill (a monolithic 512-token
         admission freezes every decode slot for the full prefill —
         the #1 inter-token tail-latency term under concurrent load).
         ``prefill_chunks_per_step`` bounds admission work per decode
-        step (higher = faster admission, longer decode stalls)."""
+        step (higher = faster admission, longer decode stalls).
+        ``decode_steps_per_sync``: run K decode steps per host
+        round-trip (one device program emits K tokens/slot) — amortizes
+        dispatch overhead ~K-fold; admission and retirement then happen
+        at K-step granularity (a mid-window EOS costs up to K-1 wasted
+        steps, trimmed from the output)."""
         self.model = model
         self.cfg = model.cfg
         self.qmap = qmap
@@ -175,6 +205,18 @@ class ServingEngine:
         self._prefill_multi_jit = jax.jit(self._prefill_multi,
                                           static_argnames=('slen',))
         self._decode_jit = jax.jit(self._decode_step)
+        self._decode_multi_jit = jax.jit(self._decode_multi,
+                                         static_argnames=('n_steps',))
+        self.steps_per_sync = max(1, int(decode_steps_per_sync))
+        # host mirror of per-slot positions: the K-step window must know
+        # headroom WITHOUT a device read (the read would be the very
+        # sync the window exists to avoid)
+        self._host_pos = np.zeros((self.B,), np.int64)
+        # per-slot sampling nonce: a fresh value per ADMISSION, folded
+        # into the key with the generated-token index (see
+        # sample_logits_per_slot)
+        self.slot_nonce = np.zeros((self.B,), np.int64)
+        self._admit_seq = 0
         self._prefill_chunk_jit = jax.jit(self._prefill_chunk_step)
         self._splice_jit = jax.jit(self._splice)
         self.pending: deque = deque()   # chunked admissions in flight
@@ -191,16 +233,20 @@ class ServingEngine:
                                       self.qmap)
         # unroll below the 2^31-element cache-buffer boundary, scan
         # above it (decode.prefer_unroll: in-place updates degrade to
-        # whole-buffer copies past the boundary)
-        unroll = stacked is not None and prefer_unroll(
-            self.B, self.S, self.cfg.num_key_value_heads,
-            self.cfg.head_dim, self.cfg.num_hidden_layers)
+        # whole-buffer copies past the boundary).  Keyed on the cache
+        # ACTUALLY passed in — local prefill caches are far smaller than
+        # the decode cache and should not inherit its scan decision
+        # (ADVICE r4)
+        biggest = max((v.size for v in cache.values()
+                       if getattr(v, 'ndim', 0) >= 4), default=0)
+        unroll = stacked is not None and biggest < 2 ** 31
         return forward_cached(params, self.cfg, ids, cache,
                               policy or self.policy, self.qmap,
                               stacked_blocks=stacked,
                               unroll=unroll)
 
-    def _decode_step(self, params, stacked, toks, cache, active, key):
+    def _decode_step(self, params, stacked, toks, cache, active, key,
+                     nonce, n_gen):
         pos_before = cache['pos']
         # unroll=True: the scan-over-layers path CARRIES the KV cache and
         # XLA double-buffers scan carries — an extra cache-sized HBM
@@ -208,12 +254,32 @@ class ServingEngine:
         # on the 7B bench).  The unrolled loop updates cache in place.
         logits, cache = self._forward(params, stacked, toks[:, None],
                                       cache)
-        nxt = sample_logits(logits[:, -1], key, self.temperature,
-                            self.top_p)
+        nxt = sample_logits_per_slot(logits[:, -1], key, nonce, n_gen,
+                                     self.temperature, self.top_p)
         # inactive slots neither advance nor keep the sampled token
         cache = dict(cache, pos=jnp.where(active, cache['pos'],
                                           pos_before))
         return nxt, cache
+
+    def _decode_multi(self, params, stacked, toks, cache, active, key,
+                      nonce, n_gen, n_steps: int):
+        """``n_steps`` decode steps in ONE device program (lax.scan with
+        in-graph sampling) — one host round-trip emits n_steps tokens
+        per slot, amortizing the per-dispatch overhead (~2.6 ms/step of
+        the r4 bench's 17.9 ms marginal step was host dispatch).
+        Sampling keys are per-(slot nonce, generated position), so the
+        emitted tokens are BIT-IDENTICAL to n_steps single
+        ``_decode_step`` calls (tests/test_engine_multistep.py)."""
+        def step(carry, _):
+            toks, cache, n_gen = carry
+            nxt, cache = self._decode_step(params, stacked, toks, cache,
+                                           active, key, nonce, n_gen)
+            toks = jnp.where(active, nxt, toks)
+            n_gen = n_gen + active.astype(n_gen.dtype)
+            return (toks, cache, n_gen), nxt
+        (toks, cache, _), out = jax.lax.scan(
+            step, (toks, cache, n_gen), None, length=n_steps)
+        return out.T, toks, cache               # out: [B, n_steps]
 
     def _local_prefill(self, params, stacked, ids, slen, batch,
                        policy=None):
@@ -347,6 +413,7 @@ class ServingEngine:
         # positions forces every step to scan to the stale maximum)
         self.cache = dict(self.cache,
                           pos=self.cache['pos'].at[b].set(0))
+        self._host_pos[b] = 0
         if self.allocator is not None:
             self.cache = dict(self.cache,
                               table=self.allocator.release(
@@ -357,6 +424,9 @@ class ServingEngine:
         # masks at pos, and decode overwrites from P on)
         self.cache = dict(self.cache,
                           pos=self.cache['pos'].at[b].set(P))
+        self._host_pos[b] = P
+        self._admit_seq += 1
+        self.slot_nonce[b] = self._admit_seq
         self.last_tok = self.last_tok.at[b].set(nxt)
         self.active[b] = True
         self.slot_req[b] = req
@@ -488,18 +558,24 @@ class ServingEngine:
                     self._finish_admit(b, req, P, int(nxt_np[j]))
 
     def step(self):
-        """One decode step over all active slots."""
+        """One decode step over all active slots (or a K-step window
+        when ``decode_steps_per_sync`` > 1 and every active slot has K
+        steps of max_len headroom)."""
         self._admit()
         if not self.active.any():
             return False
+        K = self.steps_per_sync
+        if K > 1 and np.all(self._host_pos[self.active] + K
+                            <= self.S - 1):
+            return self._step_window(K)
         act = jnp.asarray(self.active)
-        self.key, sub = jax.random.split(self.key)
         nxt, self.cache = self._decode_jit(
             self.params, self.stacked, self.last_tok, self.cache, act,
-            sub)
+            self.key, jnp.asarray(self.slot_nonce), self._n_gen())
         self.last_tok = jnp.where(act, nxt, self.last_tok)
         nxt_np = np.asarray(nxt)
         pos_np = np.asarray(self.cache['pos'])
+        self._host_pos[:] = pos_np
         for b in range(self.B):
             if not self.active[b]:
                 continue
@@ -509,6 +585,41 @@ class ServingEngine:
                        and req.output_ids[-1] == req.eos_id)
             if len(req.output_ids) >= req.max_new_tokens or hit_eos \
                     or int(pos_np[b]) >= self.S - 1:
+                self._retire(b, req)
+        return True
+
+    def _n_gen(self):
+        """[B] int32: tokens generated so far per slot (the per-slot
+        sampling key folds this in, so a token's draw depends only on
+        its request and position)."""
+        return jnp.asarray([len(r.output_ids) if r is not None
+                            and r.output_ids is not None else 0
+                            for r in self.slot_req], jnp.int32)
+
+    def _step_window(self, K: int):
+        """K decode steps in one device program; retire/EOS checks move
+        to window granularity with the overshoot trimmed (tokens past
+        EOS / max_new_tokens are decoded then discarded)."""
+        act = jnp.asarray(self.active)
+        out, last, self.cache = self._decode_multi_jit(
+            self.params, self.stacked, self.last_tok, self.cache, act,
+            self.key, jnp.asarray(self.slot_nonce), self._n_gen(),
+            n_steps=K)
+        self.last_tok = jnp.where(act, last, self.last_tok)
+        out_np = np.asarray(out)                 # [B, K]
+        self._host_pos[self.active] += K
+        for b in range(self.B):
+            if not self.active[b]:
+                continue
+            req = self.slot_req[b]
+            done = False
+            for t in out_np[b]:
+                req.output_ids.append(int(t))
+                if (req.eos_id is not None and int(t) == req.eos_id) \
+                        or len(req.output_ids) >= req.max_new_tokens:
+                    done = True
+                    break
+            if done or int(self._host_pos[b]) >= self.S - 1:
                 self._retire(b, req)
         return True
 
