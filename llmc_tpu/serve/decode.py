@@ -51,10 +51,14 @@ FLASH_MAX_B = int(_os.environ.get('LLMC_FLASH_MAX_B', '8'))
 FLASH_MIN_S = int(_os.environ.get('LLMC_FLASH_MIN_S', '4096'))
 # Serving-batch Pallas kernel (ops/batch_decode.py): grid over
 # (B / B_BLK, chunks), one [B_BLK, C, KVH, hd] KV block per grid step
-# with the whole block's softmax vectorized.  Gated OFF by default
-# until it beats the XLA chunked path at serving shapes (PERF.md r5
-# probe: the grid-pipelined DMA currently streams far below the XLA
-# read's bandwidth); force with LLMC_ATTN=batch or LLMC_BATCH_MIN_B.
+# with the whole block's softmax vectorized.  ISOLATED marginal A/B at
+# B=128/S=96 int8 wins (0.258 ms/layer vs XLA chunked 0.379, per-slot
+# flash 1.163) — but inside the REAL decode graph the custom call
+# defeats XLA's in-place lowering of the interleaved cache updates
+# (whole-buffer copies; bench marginal collapsed 5979 -> 2073 tok/s),
+# so it stays OFF by default pending aliasing work.  Force with
+# LLMC_ATTN=batch / LLMC_BATCH_MIN_B for long-context shapes where the
+# padded-tail read dominates the copy cost.
 BATCH_MIN_B = int(_os.environ.get('LLMC_BATCH_MIN_B', '100000'))
 
 
@@ -313,10 +317,15 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
             win_ok = (q_idx - kv_idx.reshape(
                 (1,) * (q_idx.ndim - 1) + (-1,))) < cfg.sliding_window
             valid = valid & jnp.where(layer % 2 == 0, win_ok, True)
+        # sink+window mask is ROW-dependent (each query position sees
+        # the sinks + its own recent window): padding-invariant, so the
+        # engine's bucketed prefill and per-slot decode match the exact
+        # lockstep decode (VERDICT r4 #8; reference scope
+        # kvsparse.py:507-650)
+        sink_mask = policy.attention_mask_offset(q_idx + 1, Smax)
+        if sink_mask is not None:
+            valid = valid & sink_mask
         if getattr(pos, 'ndim', 0) != 1:
-            sink_mask = policy.attention_mask_offset(pos + S, Smax)
-            if sink_mask is not None:
-                valid = valid & sink_mask[None, :]
             valid = valid[None, None]                    # [1, 1, S, Smax]
         else:
             valid = valid[:, None]                       # [B, 1, S, Smax]

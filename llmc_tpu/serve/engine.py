@@ -120,14 +120,12 @@ class ServingEngine:
         # absorbed-latent MLA cache (serve/mla_decode.py) instead of the
         # per-head K/V cache — same scheduler, different jitted forward
         self.mla = getattr(self.cfg, 'kv_lora_rank', None) is not None
-        assert kv_policy.method in ('fp', 'naive', 'paged'), \
-            'engine supports fp / quantized (naive) / paged KV policies'
-        assert not (self.mla and kv_policy.method != 'fp'), \
-            'MLA serving uses the fp latent cache (quantized latent: TODO)'
+        assert kv_policy.method in ('fp', 'naive', 'paged', 'sink'), \
+            'engine supports fp / naive / paged / sink KV policies'
+        assert not (self.mla and kv_policy.method not in ('fp', 'naive')), \
+            'MLA serving supports fp or quantized (naive) latent caches'
         self.prefill_chunk = prefill_chunk
         self.prefill_chunks_per_step = max(1, prefill_chunks_per_step)
-        assert prefill_chunk is None or kv_policy.method != 'paged', \
-            'chunked prefill is not wired for the paged pool yet'
         self.temperature = float(temperature)
         self.top_p = float(top_p)
         self.mesh = mesh
@@ -150,8 +148,7 @@ class ServingEngine:
             self.stacked = None
             self.params = params
         if self.mla:
-            from .mla_decode import init_mla_cache
-            cache = init_mla_cache(cfg, self.B, self.S, dtype=cfg.jdtype)
+            cache = self._mla_cache(self.B, self.S)
         else:
             cache = kv_policy.init_cache(
                 self.B, self.S, cfg.num_key_value_heads, cfg.head_dim,
@@ -182,9 +179,12 @@ class ServingEngine:
                 # scale buffers are [L,B,S,KVH] (squeezed) — shard KVH too
                 sc_spec = NamedSharding(mesh, P(None, dp, None, tp))
             rep = NamedSharding(mesh, P())
+            # 3D = MLA per-token latent scales [L,B,S]: slots over dp
+            s3_spec = NamedSharding(mesh, P(None, dp, None))
             cache = {k: jax.device_put(
                          v, kv_spec if v.ndim == 5
-                         else sc_spec if v.ndim == 4 else rep)
+                         else sc_spec if v.ndim == 4
+                         else s3_spec if v.ndim == 3 else rep)
                      for k, v in cache.items()}
         self.cache = cache
         self.key = jax.random.PRNGKey(seed)
@@ -217,8 +217,11 @@ class ServingEngine:
         # sample_logits_per_slot)
         self.slot_nonce = np.zeros((self.B,), np.int64)
         self._admit_seq = 0
-        self._prefill_chunk_jit = jax.jit(self._prefill_chunk_step)
+        self._prefill_chunk_jit = jax.jit(self._prefill_chunk_step,
+                                          static_argnames=('fp_local',))
         self._splice_jit = jax.jit(self._splice)
+        self._scatter_pages_jit = jax.jit(self._scatter_pages,
+                                          static_argnames=('slen',))
         self.pending: deque = deque()   # chunked admissions in flight
 
     # ------------------------------------------------------------------
@@ -226,6 +229,15 @@ class ServingEngine:
     # the per-head K/V cache, mla_decode.mla_forward_cached for the
     # absorbed latent cache (DeepSeek)
     # ------------------------------------------------------------------
+    def _mla_cache(self, batch, slen):
+        """Latent cache honoring the KV policy: 'naive' stores int8
+        latent codes + per-token scale (mla_decode.init_mla_cache
+        quant_bit), 'fp' the bf16 latent."""
+        from .mla_decode import init_mla_cache
+        qb = self.policy.bit if self.policy.method == 'naive' else None
+        return init_mla_cache(self.cfg, batch, slen,
+                              dtype=self.cfg.jdtype, quant_bit=qb)
+
     def _forward(self, params, stacked, ids, cache, policy=None):
         if self.mla:
             from .mla_decode import mla_forward_cached
@@ -288,8 +300,7 @@ class ServingEngine:
         cfg = self.cfg
         policy = policy or self.policy
         if self.mla:
-            from .mla_decode import init_mla_cache
-            local = init_mla_cache(cfg, batch, slen, dtype=cfg.jdtype)
+            local = self._mla_cache(batch, slen)
         else:
             local = policy.init_cache(
                 batch, slen, cfg.num_key_value_heads, cfg.head_dim,
@@ -313,14 +324,12 @@ class ServingEngine:
                             0.0, 1.0)[0]   # first token greedy
         return nxt, cache
 
-    def _prefill_paged(self, params, stacked, ids, slot, p_last, cache,
-                       slen):
-        """Prefill on a LOCAL dense FP cache, then scatter the K/V rows
-        into the slot's pool pages (paged_cache.py).  The page table row
-        was written by the allocator before this call."""
+    def _scatter_pages(self, local, slot, cache, slen):
+        """Scatter a LOCAL dense FP cache's K/V rows into the slot's
+        pool pages (quantizing if the pool is int8).  The page table row
+        was written by the allocator at admission.  Shared by monolithic
+        paged prefill and chunked paged admission."""
         cfg = self.cfg
-        logits, local = self._local_prefill(params, stacked, ids, slen,
-                                            1, policy=FP)
         ps = self.policy.page_size
         n_loc = slen // ps
         Lc = cfg.num_hidden_layers
@@ -345,6 +354,15 @@ class ServingEngine:
                 rows(local['k']))
             cache['pool_v'] = cache['pool_v'].at[:, pages].set(
                 rows(local['v']))
+        return cache
+
+    def _prefill_paged(self, params, stacked, ids, slot, p_last, cache,
+                       slen):
+        """Prefill on a LOCAL dense FP cache, then scatter the K/V rows
+        into the slot's pool pages (paged_cache.py)."""
+        logits, local = self._local_prefill(params, stacked, ids, slen,
+                                            1, policy=FP)
+        cache = self._scatter_pages(local, slot, cache, slen)
         last = jnp.take(logits[0], p_last, axis=0)
         nxt = sample_logits(last[None], jax.random.PRNGKey(0),
                             0.0, 1.0)[0]
@@ -368,12 +386,16 @@ class ServingEngine:
         nxt = sample_logits(last, jax.random.PRNGKey(0), 0.0, 1.0)
         return nxt, cache
 
-    def _prefill_chunk_step(self, params, stacked, ids_c, local, p_rel):
+    def _prefill_chunk_step(self, params, stacked, ids_c, local, p_rel,
+                            fp_local=False):
         """One prompt chunk ([1, C]) against the request's LOCAL cache
         (pos advances by C per chunk, so rope/masking offsets are
         automatic).  Returns the logit row at ``p_rel`` (the prompt's
-        last real token, used only on the final chunk) + the cache."""
-        logits, local = self._forward(params, stacked, ids_c, local)
+        last real token, used only on the final chunk) + the cache.
+        ``fp_local``: the paged engine chunks through a dense FP local
+        cache, then scatters it into pages at completion."""
+        logits, local = self._forward(params, stacked, ids_c, local,
+                                      policy=FP if fp_local else None)
         return jnp.take(logits[0], p_rel, axis=0), local
 
     def _splice(self, local, slot, cache):
@@ -449,20 +471,37 @@ class ServingEngine:
             if self.active[b] or self.slot_req[b] is not None \
                     or not self.queue:
                 continue
-            req = self.queue.popleft()
+            req = self.queue[0]
             P = len(req.prompt_ids)
             bucket = next((s for s in self.buckets if s >= P),
                           self.buckets[-1])
             ce = min(self.prefill_chunk, bucket)
+            if self.allocator is not None:
+                # page-aligned chunks so the completed local cache
+                # scatters whole pages (buckets already are multiples)
+                ps = self.policy.page_size
+                ce = max(ps, ce // ps * ps)
             n_run = -(-P // ce)
             if n_run * ce > self.S:  # odd bucket/chunk ratio: one shot
                 ce, n_run = bucket, 1
+            if self.allocator is not None:
+                need = max(n_run * ce, P + req.max_new_tokens)
+                if not self.allocator.can_admit(need):
+                    break              # pool exhausted: request waits
+                table, _ = self.allocator.allocate(b, need,
+                                                   self.cache['table'])
+                self.cache = dict(self.cache, table=table)
+            self.queue.popleft()
             ids = np.asarray(req.prompt_ids, np.int32)[None, :]
             ids = np.pad(ids, ((0, 0), (0, n_run * ce - P)))
             if self.mla:
-                from .mla_decode import init_mla_cache
-                local = init_mla_cache(cfg, 1, n_run * ce,
-                                       dtype=cfg.jdtype)
+                local = self._mla_cache(1, n_run * ce)
+            elif self.allocator is not None:
+                # chunk through a dense FP local cache; scattered into
+                # the slot's pool pages at completion
+                local = FP.init_cache(
+                    1, n_run * ce, cfg.num_key_value_heads, cfg.head_dim,
+                    cfg.num_hidden_layers, dtype=cfg.jdtype)
             else:
                 local = self.policy.init_cache(
                     1, n_run * ce, cfg.num_key_value_heads, cfg.head_dim,
@@ -483,13 +522,18 @@ class ServingEngine:
             ids_c = st['ids'][:, off:off + st['ce']]
             last, st['local'] = self._prefill_chunk_jit(
                 self.params, self.stacked, ids_c, st['local'],
-                st['p_rel'])
+                st['p_rel'], fp_local=self.allocator is not None)
             st['i'] += 1
             budget -= 1
             if st['i'] == st['n_run']:
                 self.pending.popleft()
-                self.cache = self._splice_jit(st['local'], st['slot'],
-                                              self.cache)
+                if self.allocator is not None:
+                    self.cache = self._scatter_pages_jit(
+                        st['local'], st['slot'], self.cache,
+                        slen=st['n_run'] * st['ce'])
+                else:
+                    self.cache = self._splice_jit(st['local'],
+                                                  st['slot'], self.cache)
                 nxt = sample_logits(last[None], jax.random.PRNGKey(0),
                                     0.0, 1.0)[0]   # first token greedy
                 self._finish_admit(st['slot'], st['req'], st['P'],

@@ -13,6 +13,19 @@ so scores and context are taken directly against the latent: cache is
 H*(dn+dv+dr) (e.g. 16k) — a ~28x cache reduction, and the per-step
 FLOPs stay in two small einsums against W_uk/W_uv.  Exactly equal to
 the materialized form up to float reassociation.
+
+r5 additions (VERDICT r4 #4):
+- QUANTIZED latent cache: ``quant_bit=8`` stores int8 latent codes +
+  one per-token scale (the MLA analog of kvquant.py's per-token-head
+  NaiveQuantKVCache, reference kvquant.py:10-223); the scale folds
+  POST-DOT into the scores and into the softmax probabilities, exactly
+  like the per-head int8 path (serve/decode.py:95-124).  The shared
+  rope key k_pe stays fp (dr=64 of 576 bytes/token — quantizing it
+  buys ~10% bytes for rope-phase error).
+- VALID-PREFIX chunked decode read: the single-token step accumulates
+  an online softmax over latent chunks with a dynamic trip count
+  instead of einsumming the full padded buffer (the padded-tail wall
+  the dense path fixed in r2).
 """
 
 from __future__ import annotations
@@ -29,15 +42,94 @@ F32 = jnp.float32
 
 
 def init_mla_cache(cfg: DS.DeepseekConfig, batch: int, max_len: int,
-                   dtype=None) -> Dict:
+                   dtype=None, quant_bit: Optional[int] = None) -> Dict:
     dtype = dtype or cfg.jdtype
     L = cfg.num_hidden_layers
-    return {
-        'ckv': jnp.zeros((L, batch, max_len, cfg.kv_lora_rank), dtype),
+    cache = {
         'kpe': jnp.zeros((L, batch, max_len, cfg.qk_rope_head_dim),
                          dtype),
         'pos': jnp.zeros((), jnp.int32),
     }
+    if quant_bit:
+        # int8 latent codes + per-token scale (stored squeezed [L,B,S]:
+        # a trailing 1-axis lane-pads 128x under TPU tiled layouts)
+        cache['ckv_q'] = jnp.zeros((L, batch, max_len,
+                                    cfg.kv_lora_rank), jnp.int8)
+        cache['ckv_s'] = jnp.zeros((L, batch, max_len), F32)
+    else:
+        cache['ckv'] = jnp.zeros((L, batch, max_len, cfg.kv_lora_rank),
+                                 dtype)
+    return cache
+
+
+def _quant_latent(lat: jax.Array, bit: int = 8):
+    """Per-token symmetric quant over the latent dim: [..., dc] ->
+    (int8 codes [..., dc], scale [...])."""
+    qmax = 2 ** (bit - 1) - 1
+    lf = lat.astype(F32)
+    amax = jnp.clip(jnp.max(jnp.abs(lf), axis=-1), 1e-5, None)
+    s = amax / qmax
+    q = jnp.clip(jnp.round(lf / s[..., None]), -qmax - 1,
+                 qmax).astype(jnp.int8)
+    return q, s
+
+
+def _mla_chunk_for(smax: int) -> Optional[int]:
+    from .decode import _chunk_for
+    return _chunk_for(smax)
+
+
+def _mla_decode_attn_chunked(q_lat, q_pe, cache, layer, chunk: int):
+    """Valid-prefix online-softmax read of the latent cache for ONE
+    decode token.  q_lat [B,H,dc], q_pe [B,H,dr] — both PRE-scaled by
+    the attention scale.  Returns ctx_lat [B,H,dc] (f32)."""
+    B, H, dc = q_lat.shape
+    quant = 'ckv_q' in cache
+    cbuf = cache['ckv_q'] if quant else cache['ckv']
+    kpe = cache['kpe']
+    pos = jnp.broadcast_to(jnp.asarray(cache['pos']), (B,))
+    total = jnp.max(pos) + 1
+    n_chunks = (total + chunk - 1) // chunk
+
+    def body(it, carry):
+        m, l, acc = carry
+        off = it * chunk
+        c_c = jax.lax.dynamic_slice(
+            cbuf, (layer, 0, off, 0), (1, B, chunk, dc))[0]
+        kpe_c = jax.lax.dynamic_slice(
+            kpe, (layer, 0, off, 0),
+            (1, B, chunk, kpe.shape[-1]))[0]
+        # mixed-dtype einsums feed the MXU directly (int8/bf16 chunks,
+        # f32 accumulation); the latent scale folds POST-DOT into the
+        # latent term only (the rope term is fp):
+        #   s = (q_lat·codes)*scale + q_pe·kpe
+        s_lat = jnp.einsum('bhc,bkc->bhk', q_lat, c_c,
+                           preferred_element_type=F32)
+        s_c = None
+        if quant:
+            s_c = jax.lax.dynamic_slice(
+                cache['ckv_s'], (layer, 0, off), (1, B, chunk))[0]
+            s_lat = s_lat * s_c[:, None, :]
+        s = s_lat + jnp.einsum('bhr,bkr->bhk', q_pe, kpe_c,
+                               preferred_element_type=F32)
+        idx = off + jnp.arange(chunk)
+        s = jnp.where(idx[None, None, :] <= pos[:, None, None], s,
+                      -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1)
+        if quant:
+            p = p * s_c[:, None, :]
+        acc = acc * corr[..., None] + jnp.einsum(
+            'bhk,bkc->bhc', p, c_c, preferred_element_type=F32)
+        return m_new, l, acc
+
+    m0 = jnp.full((B, H), -jnp.inf, F32)
+    l0 = jnp.zeros((B, H), F32)
+    a0 = jnp.zeros((B, H, dc), F32)
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, a0))
+    return acc / jnp.maximum(l[..., None], 1e-30)
 
 
 def _mla_block_cached(bp: Dict, cfg: DS.DeepseekConfig, x, cos, sin,
@@ -75,23 +167,29 @@ def _mla_block_cached(bp: Dict, cfg: DS.DeepseekConfig, x, cos, sin,
     # (serving engine: each slot decodes at its own offset)
     pos = cache['pos']
     per_slot = getattr(pos, 'ndim', 0) == 1
-    if per_slot:
-        bidx = jnp.arange(B)[:, None]
-        sidx = pos[:, None] + jnp.arange(S)[None, :]
-        ckv_full = cache['ckv'][layer].at[bidx, sidx].set(
-            kv_an.astype(cache['ckv'].dtype))
-        kpe_full = cache['kpe'][layer].at[bidx, sidx].set(
-            k_pe.astype(cache['kpe'].dtype))
+    quant = 'ckv_q' in cache
+
+    def upd(buf, new):
+        if per_slot:
+            bidx = jnp.arange(B)[:, None]
+            sidx = pos[:, None] + jnp.arange(S)[None, :]
+            return buf[layer].at[bidx, sidx].set(new.astype(buf.dtype))
+        return jax.lax.dynamic_update_slice(
+            buf[layer], new.astype(buf.dtype),
+            (0, pos) + (0,) * (buf.ndim - 3))
+
+    cache = dict(cache)
+    if quant:
+        ckv_codes, ckv_scale = _quant_latent(kv_an)
+        cq_full = upd(cache['ckv_q'], ckv_codes)
+        cs_full = upd(cache['ckv_s'], ckv_scale)
+        cache['ckv_q'] = cache['ckv_q'].at[layer].set(cq_full)
+        cache['ckv_s'] = cache['ckv_s'].at[layer].set(cs_full)
     else:
-        ckv_full = jax.lax.dynamic_update_slice(
-            cache['ckv'][layer], kv_an.astype(cache['ckv'].dtype),
-            (0, pos, 0))
-        kpe_full = jax.lax.dynamic_update_slice(
-            cache['kpe'][layer], k_pe.astype(cache['kpe'].dtype),
-            (0, pos, 0))
-    cache = dict(cache,
-                 ckv=cache['ckv'].at[layer].set(ckv_full),
-                 kpe=cache['kpe'].at[layer].set(kpe_full))
+        ckv_full = upd(cache['ckv'], kv_an)
+        cache['ckv'] = cache['ckv'].at[layer].set(ckv_full)
+    kpe_full = upd(cache['kpe'], k_pe)
+    cache['kpe'] = cache['kpe'].at[layer].set(kpe_full)
 
     # absorbed attention: W_uk/W_uv from kv_b_proj [H*(dn+dv), dc].
     # A kv_b bias would break the absorption identity (DeepSeek has none)
@@ -102,22 +200,34 @@ def _mla_block_cached(bp: Dict, cfg: DS.DeepseekConfig, x, cos, sin,
     q_lat = jnp.einsum('bshd,hdc->bshc', q_nope.astype(F32),
                        w_uk.astype(F32))                      # [B,S,H,dc]
     scale = (dn + dr) ** -0.5
-    scores = (jnp.einsum('bshc,bkc->bhsk', q_lat,
-                         ckv_full.astype(F32))
-              + jnp.einsum('bshr,bkr->bhsk', q_pe.astype(F32),
-                           kpe_full.astype(F32))) * scale
-    Smax = ckv_full.shape[1]
-    kv_idx = jnp.arange(Smax)
-    if per_slot:
-        q_idx = pos[:, None, None] + jnp.arange(S)[None, :, None]
-        valid = (kv_idx[None, None, :] <= q_idx)[:, None]  # [B,1,S,Smax]
+    Smax = kpe_full.shape[1]
+    chunkc = _mla_chunk_for(Smax)
+    if S == 1 and chunkc is not None:
+        # decode fast path: valid-prefix chunked online-softmax read
+        # (never touches the padded tail; quantized codes stay int8
+        # through the MXU with post-dot scale folding)
+        ctx_lat = _mla_decode_attn_chunked(
+            q_lat[:, 0] * scale, q_pe[:, 0].astype(F32) * scale,
+            cache, layer, chunkc)[:, None]                    # [B,1,H,dc]
     else:
-        q_idx = pos + jnp.arange(S)[:, None]
-        valid = (kv_idx[None, :] <= q_idx)[None, None]     # [1,1,S,Smax]
-    scores = jnp.where(valid, scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)
-    ctx_lat = jnp.einsum('bhsk,bkc->bshc', probs,
-                         ckv_full.astype(F32))                # [B,S,H,dc]
+        if quant:
+            ckv_full = (cq_full.astype(F32)
+                        * cs_full[..., None]).astype(x.dtype)
+        scores = (jnp.einsum('bshc,bkc->bhsk', q_lat,
+                             ckv_full.astype(F32))
+                  + jnp.einsum('bshr,bkr->bhsk', q_pe.astype(F32),
+                               kpe_full.astype(F32))) * scale
+        kv_idx = jnp.arange(Smax)
+        if per_slot:
+            q_idx = pos[:, None, None] + jnp.arange(S)[None, :, None]
+            valid = (kv_idx[None, None, :] <= q_idx)[:, None]
+        else:
+            q_idx = pos + jnp.arange(S)[:, None]
+            valid = (kv_idx[None, :] <= q_idx)[None, None]
+        scores = jnp.where(valid, scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx_lat = jnp.einsum('bhsk,bkc->bshc', probs,
+                             ckv_full.astype(F32))            # [B,S,H,dc]
     ctx = jnp.einsum('bshc,hdc->bshd', ctx_lat,
                      w_uv.astype(F32)).astype(x.dtype)        # [B,S,H,dv]
     attn_out = linear_apply(p['o_proj'], ctx.reshape(B, S, H * dv),

@@ -1,0 +1,106 @@
+"""Quantized MLA latent cache + valid-prefix chunked latent read
+(VERDICT r4 #4).  Reference semantics: the per-token NaiveQuantKVCache
+(/root/reference/llmc/compression/quantization/kvquant.py:10-223)
+applied to the MLA latent — int8 codes + per-token scale, scale folded
+post-dot (serve/mla_decode.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llmc_tpu.serve.engine import Request, ServingEngine
+from llmc_tpu.serve.kvcache import KVCachePolicy
+from llmc_tpu.serve.mla_decode import (init_mla_cache, mla_forward_cached,
+                                       _quant_latent)
+
+DS_TINY = dict(vocab_size=128, hidden_size=64, intermediate_size=96,
+               moe_intermediate_size=48, num_hidden_layers=3,
+               num_attention_heads=4, q_lora_rank=32, kv_lora_rank=32,
+               qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+               n_routed_experts=4, n_shared_experts=1,
+               num_experts_per_tok=2, first_k_dense_replace=1,
+               dtype='float32')
+
+
+def _deepseek(seed=4):
+    from llmc_tpu.models.adapter import DeepseekV2Adapter
+    from llmc_tpu.models.deepseek import DeepseekConfig
+    return DeepseekV2Adapter.random(DeepseekConfig(**DS_TINY), seed=seed)
+
+
+def _reqs(n=3, seed=5, max_new=5):
+    rng = np.random.RandomState(seed)
+    return [Request(uid=i, prompt_ids=rng.randint(0, 128, (4 + i,)),
+                    max_new_tokens=max_new) for i in range(n)]
+
+
+def test_quant_latent_roundtrip():
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.normal(size=(2, 5, 32)), jnp.float32)
+    q, s = _quant_latent(lat)
+    deq = q.astype(jnp.float32) * s[..., None]
+    err = np.abs(np.asarray(deq - lat)).max() / np.abs(lat).max()
+    assert err < 0.01                      # int8: ~1/127 relative
+
+
+def test_chunked_read_matches_full_fp():
+    """The valid-prefix chunked decode read must equal the full padded
+    einsum EXACTLY up to float reassociation (fp latent)."""
+    m = _deepseek()
+    cfg = m.cfg
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (2, 9)))
+    # max_len 64 has a valid chunking (32); max_len 7 has none -> the
+    # full-buffer fallback.  Prefill (S>1, full path) then one decode
+    # step through each.
+    cache = init_mla_cache(cfg, 2, 64, dtype=cfg.jdtype)
+    logits, cache = mla_forward_cached(m.params, cfg, ids, cache)
+    tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    l_chunked, _ = mla_forward_cached(m.params, cfg, tok[:, None], cache)
+
+    import llmc_tpu.serve.mla_decode as MD
+    orig = MD._mla_chunk_for
+    MD._mla_chunk_for = lambda smax: None       # force full-buffer read
+    try:
+        l_full, _ = mla_forward_cached(m.params, cfg, tok[:, None],
+                                       cache)
+    finally:
+        MD._mla_chunk_for = orig
+    np.testing.assert_allclose(np.asarray(l_chunked),
+                               np.asarray(l_full), rtol=2e-5, atol=2e-5)
+
+
+def test_engine_mla_int8_latent_close_to_fp():
+    """DeepSeek V2 through the engine with the int8 latent cache: same
+    greedy tokens as the fp latent on a tiny model (decode-PPL-style
+    tolerance: token-exact here because logit gaps >> int8 noise)."""
+    m = _deepseek()
+    outs = {}
+    for name, pol in [('fp', KVCachePolicy(method='fp')),
+                      ('int8', KVCachePolicy(method='naive', bit=8))]:
+        eng = ServingEngine(m, max_batch=2, max_len=64,
+                            prefill_buckets=(16,), kv_policy=pol)
+        reqs = _reqs()
+        eng.run(reqs)
+        assert all(r.done for r in reqs)
+        outs[name] = [list(r.output_ids) for r in reqs]
+    n_tok = sum(len(o) for o in outs['fp'])
+    n_same = sum(a == b for fo, io in zip(outs['fp'], outs['int8'])
+                 for a, b in zip(fo, io))
+    assert n_same >= n_tok - 1, (outs, n_same, n_tok)
+
+
+def test_engine_mla_int8_latent_window():
+    """int8 latent + K-step decode windows compose."""
+    m = _deepseek()
+    pol = KVCachePolicy(method='naive', bit=8)
+    base = ServingEngine(m, max_batch=2, max_len=64,
+                         prefill_buckets=(16,), kv_policy=pol)
+    r0 = _reqs(); base.run(r0)
+    win = ServingEngine(m, max_batch=2, max_len=64,
+                        prefill_buckets=(16,), kv_policy=pol,
+                        decode_steps_per_sync=4)
+    r1 = _reqs(); win.run(r1)
+    assert [r.output_ids for r in r0] == [r.output_ids for r in r1]
