@@ -124,19 +124,27 @@ def _kernel(layer_ref, blk_last_ref, q_ref, k_ref, v_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('b_blk', 'chunk', 'interpret'))
+                   static_argnames=('b_blk', 'chunk', 'interpret',
+                                    'alias_cache'))
 def batch_decode_attention(q: jax.Array, kbuf: jax.Array,
                            vbuf: jax.Array, ks: Optional[jax.Array],
                            vs: Optional[jax.Array], pos: jax.Array,
                            layer: jax.Array,
                            b_blk: Optional[int] = None,
                            chunk: Optional[int] = None,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           alias_cache: bool = False):
     """q: [B, H, hd] f32, PRE-scaled by the attention scale.
     kbuf/vbuf: [L, B, Smax, KVH, hd] (int8 codes or fp dtype).
     ks/vs: [L, B, Smax, KVH] f32 per token-head scales, or None (fp).
     pos: [B] int32 — positions idx <= pos[b] are attended.
-    layer: scalar int32.  Returns ctx [B, H, hd] f32."""
+    layer: scalar int32.  Returns ctx [B, H, hd] f32 — or, with
+    ``alias_cache``, (ctx, kbuf, vbuf[, ks, vs]): the cache buffers
+    pass THROUGH the kernel as donated input/output aliases, so the
+    caller can thread them back into its cache pytree and XLA keeps the
+    interleaved per-layer cache updates in place (without this the
+    update -> custom-call -> update chain makes XLA materialize a fresh
+    code buffer per layer: +10 ms/step at B=128/S=96, PERF.md r5)."""
     B, H, hd = q.shape
     L, _, smax, kvh, _ = kbuf.shape
     g = H // kvh
@@ -184,13 +192,40 @@ def batch_decode_attention(q: jax.Array, kbuf: jax.Array,
                                  lambda ib, ic, lr, bl: (ib, 0)))
     args.append(pos[:, None])
 
+    ctx_spec = pl.BlockSpec((b_blk, g, kvh, hd),
+                            lambda ib, ic, lr, bl: (ib, 0, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, g, kvh, hd), F32)
+    out_specs = ctx_spec
+    aliases = {}
+    kernel = functools.partial(_kernel, nch=nch, chunk=chunk, g=g,
+                               quantized=quantized)
+    if alias_cache:
+        # pass the cache buffers THROUGH as input/output aliases (the
+        # kernel never touches the pass-through refs; aliasing means no
+        # copy).  Operand indices count the flattened scalar-prefetch
+        # args: layer(0), blk_last(1), q4(2), kbuf(3), vbuf(4),
+        # ks(5), vs(6), pos2d(7).
+        thru = [kbuf, vbuf] + ([ks, vs] if quantized else [])
+        out_shape = [out_shape] + [
+            jax.ShapeDtypeStruct(t.shape, t.dtype) for t in thru]
+        any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        out_specs = [ctx_spec] + [any_spec] * len(thru)
+        aliases = {3 + i: 1 + i for i in range(len(thru))}
+
+        def kernel(*refs, _n=len(thru)):
+            # drop the pass-through output refs (between ctx out and
+            # the scratch refs)
+            base = refs[:9]                       # scalars+inputs+ctx
+            scratch = refs[9 + _n:]
+            _kernel(*base, *scratch, nch=nch, chunk=chunk, g=g,
+                    quantized=quantized)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_bblk, nch),
         in_specs=[in_specs[0], in_specs[1], in_specs[2], in_specs[3],
                   in_specs[4], in_specs[5]],
-        out_specs=pl.BlockSpec((b_blk, g, kvh, hd),
-                               lambda ib, ic, lr, bl: (ib, 0, 0, 0)),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((g, b_blk, kvh), F32),       # m
             pltpu.VMEM((g, b_blk, kvh), F32),       # l
@@ -199,10 +234,10 @@ def batch_decode_attention(q: jax.Array, kbuf: jax.Array,
     )
     kv_bytes = 2 * B * smax * kvh * hd * kbuf.dtype.itemsize
     out = pl.pallas_call(
-        functools.partial(_kernel, nch=nch, chunk=chunk, g=g,
-                          quantized=quantized),
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, g, kvh, hd), F32),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary')),
         cost_estimate=pl.CostEstimate(
@@ -210,4 +245,8 @@ def batch_decode_attention(q: jax.Array, kbuf: jax.Array,
             bytes_accessed=kv_bytes, transcendentals=B * smax * kvh * g),
         interpret=interpret,
     )(layer_arr, blk_last, *args)
+    if alias_cache:
+        ctx, *thru_out = out
+        ctx = ctx.swapaxes(1, 2).reshape(B, H, hd)
+        return (ctx, *thru_out)
     return out.swapaxes(1, 2).reshape(B, H, hd)

@@ -262,14 +262,25 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
         from ..ops.batch_decode import batch_decode_attention
         pos = jnp.broadcast_to(jnp.asarray(cache['pos']), (B,))
         fp = policy.method == 'fp'
-        ctx = batch_decode_attention(
+        # alias_cache: the buffers pass THROUGH the kernel and are
+        # threaded back into the cache, keeping XLA's per-layer cache
+        # updates in place (otherwise the update -> custom-call chain
+        # materializes a fresh code buffer per layer, PERF.md r5)
+        res = batch_decode_attention(
             q[:, 0].astype(F32) * scale,
             cache['k'] if fp else cache['k_q'],
             cache['v'] if fp else cache['v_q'],
             None if fp else cache['k_s'],
             None if fp else cache['v_s'],
-            pos, jnp.asarray(layer, jnp.int32),
-        ).reshape(B, 1, H, hd).astype(x.dtype)
+            pos, jnp.asarray(layer, jnp.int32), alias_cache=True,
+        )
+        if fp:
+            ctx, kb2, vb2 = res
+            cache = dict(cache, k=kb2, v=vb2)
+        else:
+            ctx, kb2, vb2, ks2, vs2 = res
+            cache = dict(cache, k_q=kb2, v_q=vb2, k_s=ks2, v_s=vs2)
+        ctx = ctx.reshape(B, 1, H, hd).astype(x.dtype)
     elif (impl == 'flash' and attn_ok and 'k_z' not in cache
             and jax.default_backend() != 'cpu'
             and _flash_chunk(Smax, cfg.num_key_value_heads, hd) >= 32):

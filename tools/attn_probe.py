@@ -79,7 +79,11 @@ def bench_case(L, B, S, KVH, H, hd, kv, impl, iters=20, n_exec=4):
                     chunk))
             return jnp.stack(out).sum()
     else:
-        fn = flash_decode_attention
+        if impl == 'batch':
+            from llmc_tpu.ops.batch_decode import batch_decode_attention
+            fn = batch_decode_attention
+        else:
+            fn = flash_decode_attention
 
         # buffers MUST come in via the cache argument: closing over the
         # device arrays embeds them as jit constants and the remote
@@ -130,11 +134,22 @@ def main():
                     help='single "B,S" case (foreground-friendly)')
     ap.add_argument('--kv', default=None, choices=['fp', 'int8'])
     ap.add_argument('--impl', default=None,
-                    choices=['chunked', 'flash'])
+                    choices=['chunked', 'flash', 'batch'])
+    ap.add_argument('--grid', action='store_true',
+                    help='B x S crossover grid for the dispatch table '
+                         '(VERDICT r4 #7)')
     args = ap.parse_args()
     L, KVH, H, hd = 32, 32, 32, 128   # Llama-2-7B
     if args.case:
         cases = [tuple(int(x) for x in args.case.split(','))]
+    elif args.grid:
+        # dispatch-boundary grid: measure, don't interpolate.  L=8
+        # executed-layer scaling as in --long (full-L buffers OOM at
+        # B=128 x 16k).
+        cases = [(B, S) for S in (1024, 4096, 16384)
+                 for B in (1, 8, 16, 32, 64, 128)
+                 if B * S <= 128 * 16384 // 8]
+        L = 8
     elif args.long:
         cases = [(8, 4096), (4, 8192), (1, 16384), (16, 2048)]
         L = 8   # only n_exec layers run; full-L long buffers OOM 16GB
@@ -145,7 +160,8 @@ def main():
     for B, S in cases:
         for kv in ((args.kv,) if args.kv else ('fp', 'int8')):
             for impl in ((args.impl,) if args.impl
-                         else ('chunked', 'flash')):
+                         else ('chunked', 'flash', 'batch')
+                         if args.grid else ('chunked', 'flash')):
                 r = bench_case(L, B, S, KVH, H, hd, kv, impl,
                                iters=args.iters)
                 if r is None:
