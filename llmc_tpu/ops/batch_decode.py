@@ -62,14 +62,18 @@ def _pick_blocks(b: int, smax: int, kvh: int, hd: int,
     cap = max(_KV_VMEM_BUDGET // per_unit, 1)        # b_blk*chunk cap
     # chunk first (large chunks = long contiguous DMA runs: the S dim is
     # contiguous per slot in the [L,B,S,KVH,hd] layout), then as many
-    # slots per block as the remaining cap allows
+    # slots per block as the remaining cap allows.  b_blk must stay >= 8
+    # when possible: blocks of [b_blk, 1]-shaped operands (pos) need a
+    # sublane-divisible leading dim.
+    min_bb = 8 if b % 8 == 0 else 1
     chunk = next((c for c in (128, 64, 32, 16, 8)
-                  if smax % c == 0 and 4 * c <= cap), None)
+                  if smax % c == 0 and min_bb * c <= cap), None)
     if chunk is None:
-        chunk = next((c for c in range(min(smax, cap), 0, -1)
-                      if smax % c == 0), 1)
+        chunk = next((c for c in range(min(smax, max(cap // min_bb, 1)),
+                                       0, -1) if smax % c == 0), 1)
     b_blk = next((d for d in (32, 16, 8, 4, 2, 1)
-                  if b % d == 0 and d <= b and d * chunk <= cap), 1)
+                  if b % d == 0 and d <= b and d * chunk <= cap
+                  and d >= min_bb), min_bb)
     return b_blk, chunk
 
 

@@ -218,6 +218,25 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+# Measured tile table (tools / PERF.md r5): the cell-count model below
+# is a fallback; where a serving shape was swept on the chip, ship the
+# measured winner.  Keyed (N, ng) at tm=128 (the serving decode M).
+# A/B knob: LLMC_W4_TABLE="N,ng,tn,p;..." overrides per shape.
+_MEASURED_TILES = {}
+
+
+def _load_tile_table():
+    import os
+    env = os.environ.get('LLMC_W4_TABLE')
+    if env:
+        for ent in env.split(';'):
+            n, ng, tn, p = (int(v) for v in ent.split(','))
+            _MEASURED_TILES[(n, ng)] = (tn, p)
+
+
+_load_tile_table()
+
+
 @functools.lru_cache(maxsize=None)
 def _choose_w4_tiles(N: int, tm: int, gs: int, ng: int):
     import os
@@ -225,6 +244,8 @@ def _choose_w4_tiles(N: int, tm: int, gs: int, ng: int):
     if force:
         t, p = (int(v) for v in force.split(','))
         return t, p
+    if tm <= 128 and (N, ng) in _MEASURED_TILES:
+        return _MEASURED_TILES[(N, ng)]
     """Adaptive (tn, pairs): per-grid-cell overhead (~2us) dominates with
     small tiles, so minimize grid cells subject to the Mosaic scoped-VMEM
     stack limit (16MB).  The model counts double-buffered in/out blocks,

@@ -38,40 +38,44 @@ _CHUNK_OPTS = (512, 256, 128, 64, 32)
 # LLMC_ATTN=auto|flash|chunked|full.  Default 'auto' dispatches on the
 # measured crossover (see _pick_attn).
 ATTN_IMPL = _os.environ.get('LLMC_ATTN', 'auto')
-# Measured flash-vs-chunked crossover (tools/attn_probe.py, v5e):
-#   B=64  S=96:   chunked 2714 tok/s vs flash 2021 (XLA batches all B
-#                 into one MXU einsum; the kernel's (B, chunk) grid
-#                 serializes per-slot VPU reductions)
-#   B=1   S=16k:  flash 1.6 ms vs chunked 57.7 ms (36x) — the chunked
-#                 fori_loop serializes ~S/chunk chunk DMAs while the
-#                 kernel pipelines them
-# The boundary is batch-dominated: flash wins when the per-slot DMA
-# pipeline beats one big einsum, i.e. small B and a long valid prefix.
-FLASH_MAX_B = int(_os.environ.get('LLMC_FLASH_MAX_B', '8'))
-FLASH_MIN_S = int(_os.environ.get('LLMC_FLASH_MIN_S', '4096'))
+# Measured FULL-GRAPH dispatch (tools/longctx_probe.py r5, marginal
+# decode step, v5e; the r4 boundary was interpolated from ISOLATED
+# attention timings and was wrong for most of the plane):
+#   UNROLL regime (cache < 2^31 elements, in-place updates): chunked
+#   wins EVERYWHERE measured — B=1/S=8k (24.6 vs 30.2 ms), B=4/2k,
+#   B=8/1k, B=16/512, B=64/192 (29.1 vs 39.9), B=128/S<=192 (bench).
+#   SCAN regime (cache >= 2^31, carry double-buffered): flash wins for
+#   B<=64 — 4/4k (56.6 vs 70.8), 8/2k, 16/1k, 32/512, 64/256 (58.2 vs
+#   75.2) — and loses at B=128/256 (186 vs 156).
+# Rule: flash iff scan-mode AND B <= FLASH_SCAN_MAX_B.
+FLASH_SCAN_MAX_B = int(_os.environ.get('LLMC_FLASH_SCAN_MAX_B', '64'))
 # Serving-batch Pallas kernel (ops/batch_decode.py): grid over
 # (B / B_BLK, chunks), one [B_BLK, C, KVH, hd] KV block per grid step
 # with the whole block's softmax vectorized.  ISOLATED marginal A/B at
 # B=128/S=96 int8 wins (0.258 ms/layer vs XLA chunked 0.379, per-slot
-# flash 1.163) — but inside the REAL decode graph the custom call
-# defeats XLA's in-place lowering of the interleaved cache updates
-# (whole-buffer copies; bench marginal collapsed 5979 -> 2073 tok/s),
-# so it stays OFF by default pending aliasing work.  Force with
-# LLMC_ATTN=batch / LLMC_BATCH_MIN_B for long-context shapes where the
-# padded-tail read dominates the copy cost.
+# flash 1.163) — but inside the REAL decode graph it loses (bench
+# marginal 6128 -> 3932 tok/s; unchanged by cache pass-through
+# aliasing): the opaque custom call forfeits the overlap XLA gives the
+# native chunked reads against the weight stream, and in the scan
+# regime it ties flash without beating it.  OFF by default — the
+# measured full-graph table never prefers it (PERF.md r5 negative
+# result).  Force with LLMC_ATTN=batch / LLMC_BATCH_MIN_B.
 BATCH_MIN_B = int(_os.environ.get('LLMC_BATCH_MIN_B', '100000'))
 
 
-def _pick_attn(B: int, smax: int) -> str:
-    """Shape-keyed attention dispatch for the decode step.  Returns the
-    PREFERRED impl; feasibility (policy, asymmetric zeros, backend,
-    chunk alignment) is still checked at the use site."""
+def _pick_attn(B: int, smax: int, kvh: int = 0, hd: int = 0,
+               n_layers: int = 0) -> str:
+    """Shape-keyed attention dispatch for the decode step (measured
+    full-graph table above).  Returns the PREFERRED impl; feasibility
+    (policy, asymmetric zeros, backend, chunk alignment) is still
+    checked at the use site."""
     if ATTN_IMPL != 'auto':
         return ATTN_IMPL
-    if B <= FLASH_MAX_B and smax >= FLASH_MIN_S:
-        return 'flash'
     if B >= BATCH_MIN_B:
         return 'batch'
+    scan_mode = (kvh and not prefer_unroll(B, smax, kvh, hd, n_layers))
+    if scan_mode and B <= FLASH_SCAN_MAX_B:
+        return 'flash'
     return 'chunked'
 
 
@@ -256,7 +260,8 @@ def _block_cached(bp, cfg, x, cos, sin, cache, layer, policy, qmap=None):
     attn_ok = (S == 1 and policy.method in ('fp', 'naive')
                and not cfg.use_alibi and not cfg.attn_logit_softcap
                and not cfg.sliding_window)
-    impl = _pick_attn(B, Smax)
+    impl = _pick_attn(B, Smax, cfg.num_key_value_heads, hd,
+                      cfg.num_hidden_layers)
     if (impl == 'batch' and attn_ok and 'k_z' not in cache
             and jax.default_backend() != 'cpu'):
         from ..ops.batch_decode import batch_decode_attention

@@ -93,5 +93,11 @@ def test_dispatch_wiring(monkeypatch):
     monkeypatch.setattr(D, 'ATTN_IMPL', 'auto')
     monkeypatch.setattr(D, 'BATCH_MIN_B', 16)
     assert D._pick_attn(128, 96) == 'batch'
-    assert D._pick_attn(8, 96) == 'chunked'
-    assert D._pick_attn(1, 16384) == 'flash'
+    monkeypatch.setattr(D, 'BATCH_MIN_B', 100000)
+    # unroll regime (cache < 2^31): chunked everywhere
+    assert D._pick_attn(8, 96, 32, 128, 32) == 'chunked'
+    assert D._pick_attn(1, 8192, 32, 128, 32) == 'chunked'
+    # scan regime (cache >= 2^31): flash up to B=64, chunked at 128
+    assert D._pick_attn(8, 16384, 32, 128, 32) == 'flash'
+    assert D._pick_attn(64, 4096, 32, 128, 32) == 'flash'
+    assert D._pick_attn(128, 4096, 32, 128, 32) == 'chunked'
