@@ -270,7 +270,7 @@ def main():
     # value-identical repeat calls are not evidence of execution.  One
     # host upload for the whole set, outside any timed region.
     rs = np.random.RandomState(0)
-    n_rounds = 16
+    n_rounds = 24
     ids_rounds = jnp.asarray(rs.randint(
         0, cfg.vocab_size, size=(n_rounds, B, prefill_len)), jnp.int32)
     _rix = iter(range(n_rounds))
@@ -340,6 +340,115 @@ def main():
         del cache
     ttft_p50 = sorted(ttimes)[len(ttimes) // 2]
 
+    # W4A8 companion metric: same packed weights, per-token dynamic int8
+    # activations through the int8-MXU kernel (1.8x the bf16 MXU rate at
+    # M=128, 4x at M=4096 — PERF.md r5).  The HEADLINE stays W4A16 (the
+    # BASELINE.json config); this field shows the serving ceiling when
+    # the deployment also quantizes activations (reference w4a8 scope:
+    # QuaRot/DGQ/OS+ configs).
+    w4a8 = {}
+    if os.environ.get('BENCH_W4A8', '1') == '1' and not SMALL:
+        from llmc_tpu.serve.packed import packed_qmap
+        qmap8 = packed_qmap(cfg, wspec, fuse=True, pre_t=True,
+                            head=head_mode == 'packed', a_int8=True)
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def prefill8(params, stacked, ids, cache):
+            logits, cache = forward_cached(
+                params, cfg, ids, cache, policy, qmap8,
+                stacked_blocks=stacked, last_only=True, unroll=True)
+            return (jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32),
+                    cache)
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def decode8(params, stacked, tok, cache):
+            cache = dict(cache, pos=jnp.zeros_like(cache['pos'])
+                         + prefill_len)
+
+            def step(carry, _):
+                tok, cache = carry
+                logits, cache = forward_cached(params, cfg, tok[:, None],
+                                               cache, policy, qmap8,
+                                               stacked_blocks=stacked)
+                nxt = jnp.argmax(logits[:, -1],
+                                 axis=-1).astype(jnp.int32)
+                return (nxt, cache), None
+            (tok, cache), _ = jax.lax.scan(step, (tok, cache), None,
+                                           length=steps)
+            return tok, cache
+
+        cache = init_cache(model, B, max_len, policy)
+        tok, cache = prefill8(params, stacked, ids_rounds[next(_rix)],
+                              cache)
+        np.asarray(tok)
+        tok, cache = decode8(params, stacked, tok, cache)   # compile
+        np.asarray(tok)
+        t0 = time.time()
+        for _ in range(R):
+            tok, cache = decode8(params, stacked, tok, cache)
+        np.asarray(tok)
+        w4a8['tokens_per_s_w4a8'] = round(B * steps * R
+                                          / (time.time() - t0), 2)
+        del cache
+        t8 = []
+        for _ in range(3):
+            cache = init_cache(model, B, max_len, policy)
+            jax.block_until_ready(cache['pos'])
+            pid = ids_rounds[next(_rix)]
+            np.asarray(pid[0, 0])
+            t0 = time.time()
+            t_, cache = prefill8(params, stacked, pid, cache)
+            np.asarray(t_)
+            t8.append(time.time() - t0)
+            del cache
+        w4a8['ttft_p50_w4a8_ms'] = round(sorted(t8)[1] * 1e3, 2)
+
+        # W8A8 prefill artifact: persistent per-channel int8 weights +
+        # ONE full-K int8 MXU dot per linear (the fused w4 kernel is
+        # VPU-bound at ~130 TF; the int8 MXU sustains ~570 TF at
+        # M=4096 — PERF.md r5).  A deployment keeps this 6.5 GB
+        # companion copy for prefill and streams the 3.2 GB packed w4
+        # for decode.
+        del tok
+        import gc as _gc
+        _gc.collect()
+        wspec8 = QuantSpec(bit=8, symmetric=True,
+                           granularity='per_channel')
+        model8, qmap8p = random_packed_llama(
+            cfg, wspec8, fuse=True, head=head_mode == 'packed',
+            a_int8=True)
+        params8 = model8.params
+        stacked8 = None if unroll else stack_block_params(
+            params8['blocks'])
+        if stacked8 is not None:
+            params8 = dict(params8, blocks=[])
+            model8.params['blocks'] = []
+        _gc.collect()
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def prefill_w8(params, stacked, ids, cache):
+            logits, cache = forward_cached(
+                params, cfg, ids, cache, policy, qmap8p,
+                stacked_blocks=stacked, last_only=True, unroll=True)
+            return (jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32),
+                    cache)
+
+        t8p = []
+        for i in range(4):
+            cache = init_cache(model, B, max_len, policy)
+            jax.block_until_ready(cache['pos'])
+            pid = ids_rounds[next(_rix)]
+            np.asarray(pid[0, 0])
+            t0 = time.time()
+            t_, cache = prefill_w8(params8, stacked8, pid, cache)
+            np.asarray(t_)
+            if i:                       # first round is the compile
+                t8p.append(time.time() - t0)
+            del cache
+        w4a8['ttft_p50_w8_prefill_ms'] = round(sorted(t8p)[1] * 1e3, 2)
+        del model8, params8, stacked8
+        _gc.collect()
+
     # weight-streaming roofline: bytes REQUIRED per decode step (valid
     # cache prefix only — the chunked decode attention reads just that)
     D, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
@@ -385,6 +494,7 @@ def main():
         'vs_sustained': round(frac_sustained, 4),
         'mxu_sustained_tflops': round(tf_meas, 1),
         'layer_loop': 'unroll' if unroll else 'scan',
+        **w4a8,
     }))
 
 

@@ -60,6 +60,7 @@ class LinearQcfg:
     w_baked: bool = False
     w_packed: bool = False  # params hold packed codes; use kernel path
     qmeta: object = None    # ops.dequant_matmul.QMeta when w_packed
+    a_int8: bool = False    # W4A8: per-token int8 acts, int8-MXU kernel
     # LLM.int8 outlier decomposition: columns whose absmax exceeds the
     # threshold stay FP (llmint8.py get_outlier_indices, as a mask)
     a_outlier_threshold: Optional[float] = None
@@ -130,7 +131,7 @@ def linear_apply(p: Dict, x: jax.Array,
     if qcfg is not None and qcfg.w_packed:
         from ..ops.dequant_matmul import dequant_matmul
         y = dequant_matmul(x, p['qweight'], p['scales'], p.get('zeros'),
-                           qcfg.qmeta)
+                           qcfg.qmeta, a_int8=qcfg.a_int8)
     else:
         w = p['w']
         if qcfg is not None and qcfg.w_spec is not None and not qcfg.w_baked:

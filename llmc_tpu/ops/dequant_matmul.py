@@ -191,6 +191,44 @@ def _kernel_w4(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _kernel_w4a8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int,
+                 single_group: bool, pairs: int, gs: int):
+    """W4A8 variant of ``_kernel_w4``: activations arrive PRE-QUANTIZED
+    int8 (per-token symmetric, scale applied OUTSIDE), nibbles decode to
+    int8 (0..15 — excess-8 corrected outside like the bf16 kernel), and
+    the dots run on the INT8 MXU with int32 accumulation — measured
+    1.8x the bf16 MXU rate at M=128 and 4x at M=4096 on v5e (PERF.md
+    r5), which is what breaks the decode skeleton's MXU wall and the
+    prefill's "chip-bound" TTFT."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    acc = acc_ref[:]
+    for p in range(pairs):  # static unroll: all slices 128-aligned
+        u = w_ref[:, p * gs:(p + 1) * gs].astype(jnp.int32)
+        w0 = (u & 0xF).astype(jnp.int8)              # 0..15 exact
+        w1 = (u >> 4).astype(jnp.int8)
+        i0, i1 = 2 * p, (2 * p + 1 if not single_group else 2 * p)
+        s0 = s_ref[0, i0:i0 + 1, :].astype(F32)        # [1, TN]
+        s1 = s_ref[0, i1:i1 + 1, :].astype(F32)
+        x0 = x[:, 2 * p * gs:(2 * p + 1) * gs]
+        x1 = x[:, (2 * p + 1) * gs:(2 * p + 2) * gs]
+        part0 = jax.lax.dot_general(x0, w0, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+        part1 = jax.lax.dot_general(x1, w1, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+        acc = acc + part0.astype(F32) * s0 + part1.astype(F32) * s1
+    acc_ref[:] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def _kernel_w8(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, n_k: int,
                sym: bool):
     """Grid (i, j, k): one scale group per k step.
@@ -282,13 +320,18 @@ def _choose_w4_tiles(N: int, tm: int, gs: int, ng: int):
 
 
 @functools.partial(jax.jit, static_argnames=('meta', 'tm', 'tn',
-                                             'interpret', 'out_dtype'))
+                                             'interpret', 'out_dtype',
+                                             'a_int8'))
 def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
                           tm: int = 256, tn: int = 256,
-                          interpret: bool = False, out_dtype=None):
+                          interpret: bool = False, out_dtype=None,
+                          a_int8: bool = False):
     """y = x @ dequant(packed).T on TPU.  ``out_dtype`` overrides the
     result dtype (the lm_head wants f32 logits straight from the f32
-    accumulator instead of a bf16 round-trip)."""
+    accumulator instead of a bf16 round-trip).  ``a_int8`` (bits=4
+    only): quantize activations per token to int8 and run the INT8 MXU
+    kernel — W4A8 serving (1.8x / 4x the bf16 MXU rate at M=128/4096,
+    PERF.md r5)."""
     out_dtype = out_dtype or x.dtype
     M, K = x.shape
     N = meta.out_features
@@ -304,6 +347,14 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
     sym = meta.symmetric
     z = zeros if zeros is not None else jnp.zeros_like(scales)
     if meta.bits == 4:
+        sx = None
+        if a_int8:
+            # dynamic per-token symmetric int8 (reference W4A8 runtime
+            # semantics: quant.py a_qcfg per_token dynamic)
+            ax = jnp.max(jnp.abs(x.astype(F32)), axis=1, keepdims=True)
+            sx = jnp.maximum(ax, 1e-8) / 127.0
+            x = jnp.clip(jnp.round(x.astype(F32) / sx), -127,
+                         127).astype(jnp.int8)
         if ng > 1:
             tn, pairs = _choose_w4_tiles(N, tm, gs, ng)
             span = pairs * 2 * gs
@@ -320,7 +371,8 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
             z_eff = z + 8.0 if sym else z  # excess-8 storage offset
             s3 = scales.reshape(N, n_k, spg).transpose(1, 2, 0)
             zs_ng = (scales * z_eff).T                  # [ng, N]
-        kernel = functools.partial(_kernel_w4, n_k=n_k,
+        kern = _kernel_w4a8 if a_int8 else _kernel_w4
+        kernel = functools.partial(kern, n_k=n_k,
                                    single_group=(ng == 1), pairs=pairs,
                                    gs=gsl)
         in_specs = [
@@ -344,11 +396,21 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
         )(x, packed, s3)
         # zero/excess-8 correction: y -= Σ_g (Σ_k∈g x_k) · s_g z_eff_g,
         # a rank-ng matmul on per-group x sums (outside the kernel; XLA
-        # fuses it and its flops are M·ng·N — noise next to the GEMM)
+        # fuses it and its flops are M·ng·N — noise next to the GEMM).
+        # For a_int8 the sums are over the int8 codes and the per-token
+        # scale multiplies at the very end (it factors out of both the
+        # kernel sum and the correction).
         xs = jnp.sum(x.astype(F32).reshape(Mp, ng, gs), axis=2)
-        out = (y32 - jnp.dot(xs, zs_ng.astype(F32),
-                             preferred_element_type=F32)).astype(out_dtype)
-        return out[:M]
+        # a8: HIGHEST precision on the tiny correction matmul — the
+        # kernel's int dots are exact, and the default bf16-decomposed
+        # f32 dot here was the whole 0.4% error vs the integer oracle
+        # (r5); a16 keeps the default (its kernel is bf16 anyway)
+        prec = jax.lax.Precision.HIGHEST if a_int8 else None
+        out = y32 - jnp.dot(xs, zs_ng.astype(F32),
+                            preferred_element_type=F32, precision=prec)
+        if sx is not None:
+            out = out * sx
+        return out.astype(out_dtype)[:M]
     n_k = ng
     s3 = scales.reshape(N, ng, 1).transpose(1, 0, 2)
     z3 = z.reshape(N, ng, 1).transpose(1, 0, 2)
@@ -380,9 +442,67 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
 # Public entry
 # --------------------------------------------------------------------------
 
+def _quant_act_token(x):
+    """Dynamic per-token symmetric int8 (W4A8 runtime; reference
+    semantics: a_qcfg per_token dynamic, quant.py).  Returns (xq int8,
+    sx [M,1] f32)."""
+    ax = jnp.max(jnp.abs(x.astype(F32)), axis=-1, keepdims=True)
+    sx = jnp.maximum(ax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(F32) / sx), -127,
+                  127).astype(jnp.int8)
+    return xq, sx
+
+
+# prefill staging threshold: at M >= this, the a8 path re-quantizes the
+# w4 weights to per-channel int8 ONCE per call and runs ONE full-K
+# int8 MXU dot — the Pallas w4 kernel is VPU-bound (~130 TF ceiling:
+# nibble decode + per-group scale epilogue) while the staged dot
+# sustains ~570 TF at M=4096 (PERF.md r5).  Decode (small M) keeps the
+# fused kernel: staging would double the weight stream.
+# Default OFF (2**62): measured r5, the per-call staging chain
+# (unpack -> dequant f32 -> requant int8) does NOT fuse — its
+# materializations cost more than the int8 dot saves (TTFT 643 ms vs
+# 516 baseline).  The winning form is PERSISTENT per-channel int8
+# weights (bits=8 + a_int8 path below, 'w8 prefill artifact').
+A8_STAGE_MIN_M = int(__import__('os').environ.get('LLMC_A8_STAGE_MIN_M',
+                                                  str(2 ** 62)))
+
+
+def _dequant_matmul_a8_staged(x, packed, scales, zeros, meta: QMeta,
+                              out_dtype=None):
+    """W4A8 prefill path: w4 -> per-channel int8 weight staging + one
+    int8 MXU dot.  Extra weight error <= half the per-channel int8 step
+    (max|W_n|/254) — finer than the w4 grid except for groups whose
+    scale is >16x below the channel max."""
+    xq, sx = _quant_act_token(x)
+    w = dequant_weight_xla(packed, scales, zeros, meta)     # [N, K] f32
+    s8 = jnp.maximum(jnp.max(jnp.abs(w), axis=1, keepdims=True),
+                     1e-8) / 127.0
+    w8 = jnp.clip(jnp.round(w / s8), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, w8, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(F32) * (sx * s8[:, 0][None, :])
+    return y.astype(out_dtype or x.dtype)
+
+
+def _dequant_matmul_xla_a8(x, packed, scales, zeros, meta: QMeta,
+                           out_dtype=None):
+    """CPU/fallback W4A8: numerically the same per-token int8 act
+    quant + int dot as the Pallas kernel (exact in f64-free math: int
+    products are exact in f32 up to the correction)."""
+    xq, sx = _quant_act_token(x)
+    w = dequant_weight_xla(packed, scales, zeros, meta)
+    y = jnp.dot(xq.astype(F32), w.T, preferred_element_type=F32) * sx
+    return y.astype(out_dtype or x.dtype)
+
+
 def dequant_matmul(x, packed, scales, zeros, meta: QMeta,
-                   force_xla: bool = False, out_dtype=None):
-    """Dispatch: Pallas on TPU, XLA elsewhere.  Accepts [*, K] inputs."""
+                   force_xla: bool = False, out_dtype=None,
+                   a_int8: bool = False):
+    """Dispatch: Pallas on TPU, XLA elsewhere.  Accepts [*, K] inputs.
+    ``a_int8``: W4A8 — per-token dynamic int8 activations through the
+    int8-MXU kernel (bits=4 only; falls back to an exact XLA emulation
+    off-TPU)."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     # the axon tunnel may register TPU devices under other platform names
@@ -396,20 +516,49 @@ def dequant_matmul(x, packed, scales, zeros, meta: QMeta,
     minor = gs if ng > 1 else meta.in_features // 2
     pallas_ok = (ng % 2 == 0 or ng == 1) and minor % 128 == 0 \
         if meta.bits == 4 else gs % 128 == 0
+    a_int8 = a_int8 and meta.bits in (4, 8)
+    # the pallas kernels implement a8 only for bits=4; bits=8 a8 uses
+    # the per-channel dot above or the XLA emulation
     use_pallas = (not force_xla and on_tpu and meta.bits in (4, 8)
-                  and pallas_ok)
-    if use_pallas:
+                  and pallas_ok and not (a_int8 and meta.bits == 8))
+    if a_int8 and meta.bits == 8 and on_tpu and not force_xla \
+            and meta.group_size >= meta.in_features:
+        # W8A8 per-channel fast path: weights ARE int8 codes [N, K] with
+        # one scale per output channel — a single full-K int8 MXU dot
+        # (571 TF at M=4096 vs the VPU-bound ~130 TF w4 kernel).  This
+        # is the persistent serving form of the w4 -> w8 staging.
+        assert zeros is None or meta.symmetric, \
+            'per-channel a8 dot requires symmetric weights'
+        xq, sx = _quant_act_token(x2)
+        y = jax.lax.dot_general(xq, packed, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        y = (y.astype(F32) * (sx * scales.reshape(-1)[None, :])
+             ).astype(out_dtype or x.dtype)
+    elif (a_int8 and meta.bits == 4 and on_tpu and not force_xla
+            and x2.shape[0] >= A8_STAGE_MIN_M):
+        # prefill regime: per-channel int8 staging + int8 MXU dot
+        if meta.pre_t:
+            sc = scales.T
+            z_eff = zeros.T / jnp.clip(sc, 1e-9, None)
+            zz = z_eff - 8.0 if meta.symmetric else z_eff
+            meta_p = dataclasses.replace(meta, pre_t=False)
+            y = _dequant_matmul_a8_staged(x2, packed, sc, zz, meta_p,
+                                          out_dtype=out_dtype)
+        else:
+            y = _dequant_matmul_a8_staged(x2, packed, scales, zeros,
+                                          meta, out_dtype=out_dtype)
+    elif use_pallas:
         y = dequant_matmul_pallas(x2, packed, scales, zeros, meta,
-                                  out_dtype=out_dtype)
+                                  out_dtype=out_dtype, a_int8=a_int8)
     else:
+        xla = _dequant_matmul_xla_a8 if a_int8 else _dequant_matmul_xla
         if meta.pre_t:  # undo the [ng, N] fold for the reference path
             s = scales.T
             z_eff = zeros.T / jnp.clip(s, 1e-9, None)
             z = z_eff - 8.0 if meta.symmetric else z_eff
             meta = dataclasses.replace(meta, pre_t=False)
-            y = _dequant_matmul_xla(x2, packed, s, z, meta,
-                                    out_dtype=out_dtype)
+            y = xla(x2, packed, s, z, meta, out_dtype=out_dtype)
         else:
-            y = _dequant_matmul_xla(x2, packed, scales, zeros, meta,
-                                    out_dtype=out_dtype)
+            y = xla(x2, packed, scales, zeros, meta,
+                    out_dtype=out_dtype)
     return y.reshape(*lead, -1)

@@ -42,7 +42,7 @@ def _linear_dims(cfg):
 def packed_qmap(cfg, wspec: QuantSpec,
                 a_spec: Optional[QuantSpec] = None,
                 fuse: bool = False, pre_t: bool = False,
-                head: bool = False) -> QMap:
+                head: bool = False, a_int8: bool = False) -> QMap:
     """QMap whose entries carry per-layer QMeta for the kernel path.
     ``fuse`` adds entries for the concatenated qkv_proj / gate_up_proj
     serving layout; ``pre_t`` marks pre-transposed scale storage;
@@ -65,8 +65,12 @@ def packed_qmap(cfg, wspec: QuantSpec,
         meta = QMeta(bits=int(wspec.bit), group_size=gs or in_f,
                      symmetric=wspec.symmetric,
                      out_features=out_f, in_features=in_f, pre_t=pre_t)
+        # W4A8 applies to the BLOCK linears; the lm_head stays
+        # weight-only (its logits feed sampling — the reference's w4a8
+        # configs also leave the head unquantized on the act side)
         entries[path] = LinearQcfg(w_packed=True, qmeta=meta,
-                                   a_spec=a_spec)
+                                   a_spec=a_spec,
+                                   a_int8=a_int8 and path != 'lm_head')
     return QMap(entries)
 
 
@@ -171,9 +175,10 @@ def pack_head(params: Dict, cfg, wspec: QuantSpec,
 def pack_model(model, wspec: QuantSpec,
                a_spec: Optional[QuantSpec] = None,
                fuse: bool = False, pre_t: bool = True,
-               head: bool = False) -> QMap:
+               head: bool = False, a_int8: bool = False) -> QMap:
     """In-place: pack every block's linears; returns the serving QMap.
-    ``head`` also packs the lm_head (weight-only, untied models)."""
+    ``head`` also packs the lm_head (weight-only, untied models);
+    ``a_int8`` serves W4A8 (per-token dynamic int8 activations)."""
     layout = model.get_layout()
     for i in range(model.n_blocks):
         model.set_block(i, pack_block(model.blocks[i], model.cfg, wspec,
@@ -182,12 +187,13 @@ def pack_model(model, wspec: QuantSpec,
         model.params = pack_head(model.params, model.cfg, wspec,
                                  pre_t=pre_t)
     return packed_qmap(model.cfg, wspec, a_spec, fuse=fuse, pre_t=pre_t,
-                       head=head and not model.cfg.tie_word_embeddings)
+                       head=head and not model.cfg.tie_word_embeddings,
+                       a_int8=a_int8)
 
 
 def random_packed_llama(cfg, wspec: QuantSpec, seed: int = 0,
                         fuse: bool = False, pre_t: bool = True,
-                        head: bool = True):
+                        head: bool = True, a_int8: bool = False):
     """Build a Llama adapter whose linears are random packed int4/int8 —
     for serving/bench without materializing fp weights.  ``head`` packs
     the lm_head too (the shipped serving default)."""
@@ -246,4 +252,4 @@ def random_packed_llama(cfg, wspec: QuantSpec, seed: int = 0,
     }
     return LlamaAdapter(cfg, params), packed_qmap(
         cfg, wspec, fuse=fuse, pre_t=pre_t,
-        head=head and not cfg.tie_word_embeddings)
+        head=head and not cfg.tie_word_embeddings, a_int8=a_int8)

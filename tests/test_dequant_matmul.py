@@ -6,10 +6,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from llmc_tpu.ops.dequant_matmul import (QMeta, dequant_matmul,
+from llmc_tpu.ops.dequant_matmul import (QMeta, _dequant_matmul_xla_a8,
+                                         dequant_matmul,
                                          dequant_matmul_pallas,
-                                         dequant_weight_xla, pack_weight,
-                                         unpack_weight_xla)
+                                         dequant_weight_xla, pack_scales_t,
+                                         pack_weight, unpack_weight_xla)
 
 
 def _mk(bits=4, sym=False, N=128, K=256, gs=128, seed=0):
@@ -241,3 +242,132 @@ def test_packed_head_decode_matches_dense_head_tokens():
     out2 = greedy_generate(m2, jnp.asarray(ids), max_new_tokens=6,
                            qmap=q2)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+class TestW4A8:
+    """W4A8 int8-MXU path (r5): per-token dynamic int8 activations
+    through the int8 dot kernel.  Reference scope: llmc's w4a8 configs
+    (e.g. QuaRot/DGQ w4a8, quant.py per-token dynamic a_qcfg)."""
+
+    def _mk(self, M=24, K=256, N=96, gs=64, sym=True, pre_t=False,
+            seed=0):
+        rng = np.random.default_rng(seed)
+        meta = QMeta(bits=4, group_size=gs, symmetric=sym,
+                     out_features=N, in_features=K, pre_t=pre_t)
+        lo = -8 if sym else 0
+        codes = jnp.asarray(rng.integers(lo, lo + 16, (N, K)))
+        scales = jnp.asarray(rng.uniform(.005, .02, (N, K // gs)),
+                             jnp.float32)
+        zeros = (None if sym else jnp.asarray(
+            rng.integers(0, 16, (N, K // gs)), jnp.float32))
+        packed, s, z = pack_weight(codes, scales, zeros, meta)
+        if pre_t:
+            s, z = pack_scales_t(scales, zeros, meta)
+        x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+        return x, packed, s, z, meta, codes, scales, zeros
+
+    @pytest.mark.parametrize('sym', [True, False])
+    def test_kernel_matches_xla_a8(self, sym):
+        """Pallas interpret == the XLA a8 emulation (same math)."""
+        x, packed, s, z, meta, *_ = self._mk(sym=sym)
+        want = _dequant_matmul_xla_a8(x, packed, s, z, meta,
+                                      out_dtype=jnp.float32)
+        got = dequant_matmul_pallas(x, packed, s, z, meta,
+                                    interpret=True, a_int8=True,
+                                    out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_kernel_pre_t_matches_plain_a8(self):
+        """pre_t scale folding is layout-only: the a8 kernel must give
+        identical results with either scale storage (the a16 kernel is
+        NOT an exact oracle here — it casts inputs to bf16)."""
+        x, packed, s, z, meta, codes, scales, zeros = self._mk(
+            pre_t=True)
+        got = dequant_matmul_pallas(x, packed, s, z, meta,
+                                    interpret=True, a_int8=True,
+                                    out_dtype=jnp.float32)
+        import dataclasses
+        meta_p = dataclasses.replace(meta, pre_t=False)
+        packed_p, s_p, z_p = pack_weight(codes, scales, zeros, meta_p)
+        base = dequant_matmul_pallas(x, packed_p, s_p, z_p, meta_p,
+                                     interpret=True, a_int8=True,
+                                     out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_a8_close_to_a16(self):
+        """int8 activations add ~1/127 relative noise — outputs stay
+        close to the W4A16 path on well-scaled inputs."""
+        x, packed, s, z, meta, *_ = self._mk(M=16, K=512, N=128, gs=128)
+        a16 = dequant_matmul(x, packed, s, z, meta, force_xla=True,
+                             out_dtype=jnp.float32)
+        a8 = dequant_matmul(x, packed, s, z, meta, force_xla=True,
+                            a_int8=True, out_dtype=jnp.float32)
+        denom = np.abs(np.asarray(a16)).mean() + 1e-9
+        rel = np.abs(np.asarray(a8 - a16)).mean() / denom
+        assert rel < 0.02, rel
+
+    def test_linear_apply_a8_wiring(self):
+        """LinearQcfg(a_int8=True) routes through the a8 path."""
+        from llmc_tpu.models.base import LinearQcfg, linear_apply
+        x, packed, s, z, meta, *_ = self._mk()
+        p = {'qweight': packed, 'scales': s, 'b': None}
+        if z is not None:
+            p['zeros'] = z
+        qc = LinearQcfg(w_packed=True, qmeta=meta, a_int8=True)
+        y = linear_apply(p, x[None], qc)
+        want = dequant_matmul(x, packed, s, z, meta, a_int8=True)
+        np.testing.assert_allclose(np.asarray(y[0]), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_packed_serving_engine_w4a8_cpu():
+    """pack_model(a_int8=True) + ServingEngine: the W4A8 serving path
+    end-to-end (XLA a8 emulation on CPU).  Tokens must largely agree
+    with the W4A16 engine on a tiny model (per-token int8 acts add
+    ~1/127 noise)."""
+    import numpy as np
+    from llmc_tpu.models import LlamaAdapter, LlamaConfig
+    from llmc_tpu.quant import QuantSpec
+    from llmc_tpu.serve.packed import pack_model
+    from llmc_tpu.serve.engine import Request, ServingEngine
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      head_dim=16, dtype='float32')
+    wspec = QuantSpec(bit=4, symmetric=True, granularity='per_group',
+                      group_size=32)
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(0, 128, (5 + i,)) for i in range(3)]
+    outs = {}
+    for a8 in (False, True):
+        m = LlamaAdapter.random(cfg, seed=0)
+        qmap = pack_model(m, wspec, a_int8=a8)
+        eng = ServingEngine(m, qmap=qmap, max_batch=2, max_len=48,
+                            prefill_buckets=(8, 16))
+        reqs = [Request(uid=i, prompt_ids=p, max_new_tokens=5)
+                for i, p in enumerate(prompts)]
+        eng.run(reqs)
+        assert all(r.done and len(r.output_ids) == 5 for r in reqs)
+        outs[a8] = [list(r.output_ids) for r in reqs]
+    n_tok = sum(len(o) for o in outs[False])
+    n_same = sum(a == b for x, y in zip(outs[False], outs[True])
+                 for a, b in zip(x, y))
+    assert n_same >= n_tok - 3, (outs, n_same, n_tok)
+
+
+def test_a8_staged_close_to_a8():
+    """Per-channel int8 weight staging (prefill fast path) adds <= half
+    a per-channel int8 step of weight error on top of w4."""
+    from llmc_tpu.ops.dequant_matmul import (_dequant_matmul_a8_staged,
+                                             _dequant_matmul_xla_a8)
+    codes, scales, zeros, packed, s, z, meta = _mk(sym=True, N=128,
+                                                   K=512, gs=128)
+    x = jnp.asarray(np.random.RandomState(5).randn(32, 512), jnp.float32)
+    base = np.asarray(_dequant_matmul_xla_a8(x, packed, s, z, meta,
+                                             out_dtype=jnp.float32))
+    got = np.asarray(_dequant_matmul_a8_staged(x, packed, s, z, meta,
+                                               out_dtype=jnp.float32))
+    rel = np.abs(got - base).mean() / (np.abs(base).mean() + 1e-9)
+    assert rel < 0.01, rel
