@@ -347,7 +347,8 @@ def main():
     # the deployment also quantizes activations (reference w4a8 scope:
     # QuaRot/DGQ/OS+ configs).
     w4a8 = {}
-    if os.environ.get('BENCH_W4A8', '1') == '1' and not SMALL:
+
+    def _w4a8_section():
         from llmc_tpu.serve.packed import packed_qmap
         qmap8 = packed_qmap(cfg, wspec, fuse=True, pre_t=True,
                             head=head_mode == 'packed', a_int8=True)
@@ -448,6 +449,14 @@ def main():
         w4a8['ttft_p50_w8_prefill_ms'] = round(sorted(t8p)[1] * 1e3, 2)
         del model8, params8, stacked8
         _gc.collect()
+
+    if os.environ.get('BENCH_W4A8', '1') == '1' and not SMALL:
+        try:
+            _w4a8_section()
+        except Exception as e:   # companion metrics must never kill
+            import sys as _sys   # the headline bench
+            print(f'BENCH: w4a8 section failed ({e!r:.200})',
+                  file=_sys.stderr)
 
     # weight-streaming roofline: bytes REQUIRED per decode step (valid
     # cache prefix only — the chunked decode attention reads just that)

@@ -61,6 +61,7 @@ class LinearQcfg:
     w_packed: bool = False  # params hold packed codes; use kernel path
     qmeta: object = None    # ops.dequant_matmul.QMeta when w_packed
     a_int8: bool = False    # W4A8: per-token int8 acts, int8-MXU kernel
+    w8_alt: bool = False    # read the w8 companion ('qweight8'/'scales8')
     # LLM.int8 outlier decomposition: columns whose absmax exceeds the
     # threshold stay FP (llmint8.py get_outlier_indices, as a mask)
     a_outlier_threshold: Optional[float] = None
@@ -130,8 +131,15 @@ def linear_apply(p: Dict, x: jax.Array,
             x = fake_quant_act(qcfg.a_spec, x, round_fn=round_fn)
     if qcfg is not None and qcfg.w_packed:
         from ..ops.dequant_matmul import dequant_matmul
-        y = dequant_matmul(x, p['qweight'], p['scales'], p.get('zeros'),
-                           qcfg.qmeta, a_int8=qcfg.a_int8)
+        if qcfg.w8_alt:
+            # per-channel int8 companion copy (prefill fast path: one
+            # full-K int8 MXU dot, PERF.md r5 'w8 prefill artifact')
+            y = dequant_matmul(x, p['qweight8'], p['scales8'], None,
+                               qcfg.qmeta, a_int8=qcfg.a_int8)
+        else:
+            y = dequant_matmul(x, p['qweight'], p['scales'],
+                               p.get('zeros'), qcfg.qmeta,
+                               a_int8=qcfg.a_int8)
     else:
         w = p['w']
         if qcfg is not None and qcfg.w_spec is not None and not qcfg.w_baked:

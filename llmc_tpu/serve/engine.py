@@ -99,7 +99,8 @@ class ServingEngine:
                  prefill_buckets=(32, 64, 128, 256, 512),
                  prefill_chunk: Optional[int] = None,
                  prefill_chunks_per_step: int = 1,
-                 decode_steps_per_sync: int = 1):
+                 decode_steps_per_sync: int = 1,
+                 prefill_w8: bool = False):
         """``prefill_chunk``: admit requests in chunk-sized prefill
         slices interleaved between decode steps, so active slots never
         stall longer than one chunk's prefill (a monolithic 512-token
@@ -111,7 +112,11 @@ class ServingEngine:
         round-trip (one device program emits K tokens/slot) — amortizes
         dispatch overhead ~K-fold; admission and retirement then happen
         at K-step granularity (a mid-window EOS costs up to K-1 wasted
-        steps, trimmed from the output)."""
+        steps, trimmed from the output).
+        ``prefill_w8``: route prefills through each linear's w8
+        companion copy (pack_model(w8_prefill=True)) — one full-K int8
+        MXU dot per linear, TTFT 516 -> 337 ms on the 7B bench at the
+        cost of 2x weight HBM (PERF.md r5)."""
         self.model = model
         self.cfg = model.cfg
         self.qmap = qmap
@@ -198,6 +203,10 @@ class ServingEngine:
             assert all(b % kv_policy.page_size == 0 for b in self.buckets), \
                 'prefill buckets must be multiples of page_size'
             self.allocator = PageAllocator(kv_policy)
+        self.qmap_prefill = qmap
+        if prefill_w8 and qmap is not None and not self.mla:
+            from .packed import prefill_qmap_from
+            self.qmap_prefill = prefill_qmap_from(qmap)
         self._prefill_jit = jax.jit(self._prefill,
                                     static_argnames=('slen',))
         self._prefill_paged_jit = jax.jit(self._prefill_paged,
@@ -238,11 +247,13 @@ class ServingEngine:
         return init_mla_cache(self.cfg, batch, slen,
                               dtype=self.cfg.jdtype, quant_bit=qb)
 
-    def _forward(self, params, stacked, ids, cache, policy=None):
+    def _forward(self, params, stacked, ids, cache, policy=None,
+                 qmap=None):
+        qmap = qmap if qmap is not None else self.qmap
         if self.mla:
             from .mla_decode import mla_forward_cached
             return mla_forward_cached(params, self.cfg, ids, cache,
-                                      self.qmap)
+                                      qmap)
         # unroll below the 2^31-element cache-buffer boundary, scan
         # above it (decode.prefer_unroll: in-place updates degrade to
         # whole-buffer copies past the boundary).  Keyed on the cache
@@ -253,7 +264,7 @@ class ServingEngine:
                        if getattr(v, 'ndim', 0) >= 4), default=0)
         unroll = stacked is not None and biggest < 2 ** 31
         return forward_cached(params, self.cfg, ids, cache,
-                              policy or self.policy, self.qmap,
+                              policy or self.policy, qmap,
                               stacked_blocks=stacked,
                               unroll=unroll)
 
@@ -305,7 +316,8 @@ class ServingEngine:
             local = policy.init_cache(
                 batch, slen, cfg.num_key_value_heads, cfg.head_dim,
                 cfg.num_hidden_layers, dtype=cfg.jdtype)
-        return self._forward(params, stacked, ids, local, policy=policy)
+        return self._forward(params, stacked, ids, local, policy=policy,
+                             qmap=self.qmap_prefill)
 
     def _prefill(self, params, stacked, ids, slot, p_last, cache, slen):
         """One request ([1, slen]) through the full graph on a local
@@ -395,7 +407,8 @@ class ServingEngine:
         ``fp_local``: the paged engine chunks through a dense FP local
         cache, then scatters it into pages at completion."""
         logits, local = self._forward(params, stacked, ids_c, local,
-                                      policy=FP if fp_local else None)
+                                      policy=FP if fp_local else None,
+                                      qmap=self.qmap_prefill)
         return jnp.take(logits[0], p_rel, axis=0), local
 
     def _splice(self, local, slot, cache):

@@ -74,8 +74,40 @@ def packed_qmap(cfg, wspec: QuantSpec,
     return QMap(entries)
 
 
+def prefill_qmap_from(qmap: QMap) -> QMap:
+    """Derive the w8-companion prefill QMap from a serving QMap:
+    every packed block linear is rerouted through ('qweight8',
+    'scales8') with the per-channel int8 MXU dot; the lm_head keeps its
+    packed-w4 weight-only entry."""
+    import dataclasses
+    entries = {}
+    for path, qc in qmap._d.items():
+        if qc is None or not getattr(qc, 'w_packed', False) \
+                or path == 'lm_head':
+            entries[path] = qc
+            continue
+        m = qc.qmeta
+        entries[path] = LinearQcfg(
+            w_packed=True, a_int8=True, w8_alt=True,
+            qmeta=QMeta(bits=8, group_size=m.in_features,
+                        symmetric=True, out_features=m.out_features,
+                        in_features=m.in_features))
+    return QMap(entries, default=qmap._default)
+
+
+def w8_companion(w: jax.Array):
+    """(codes int8 [N, K], scales [N]) per-channel symmetric int8 of a
+    weight — the prefill companion copy."""
+    wf = w.astype(F32)
+    s8 = jnp.maximum(jnp.max(jnp.abs(wf), axis=1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / s8[:, None]), -127,
+                 127).astype(jnp.int8)
+    return q, s8
+
+
 def pack_block(block: Dict, cfg, wspec: QuantSpec, layout,
-               fuse: bool = False, pre_t: bool = False) -> Dict:
+               fuse: bool = False, pre_t: bool = False,
+               w8_prefill: bool = False) -> Dict:
     """Replace each linear's fp weight with packed codes+scales.
     ``pre_t`` stores scales/zeros pre-transposed [ng, N] (zs folded);
     ``fuse`` merges q/k/v -> qkv_proj and gate/up -> gate_up_proj (one
@@ -103,6 +135,14 @@ def pack_block(block: Dict, cfg, wspec: QuantSpec, layout,
             newlin = {'qweight': qw, 'scales': s, 'b': lin.get('b')}
             if z is not None:
                 newlin['zeros'] = z
+        if w8_prefill:
+            # companion quantizes the QDQ'd weight (what w4 serves), so
+            # prefill w8 error is strictly the per-channel int8 step on
+            # top of the same deployed weight
+            from ..ops.dequant_matmul import dequant_weight_xla
+            wdq = dequant_weight_xla(qw, s if not pre_t else scales,
+                                     z if not pre_t else zeros, meta)
+            newlin['qweight8'], newlin['scales8'] = w8_companion(wdq)
         block = set_path(block, path, newlin)
     if fuse:
         block = fuse_packed_block(block)
@@ -111,6 +151,10 @@ def pack_block(block: Dict, cfg, wspec: QuantSpec, layout,
 
 def _concat_packed(lins, axis_n=0):
     out = {'qweight': jnp.concatenate([l['qweight'] for l in lins], 0)}
+    if 'qweight8' in lins[0]:
+        out['qweight8'] = jnp.concatenate(
+            [l['qweight8'] for l in lins], 0)
+        out['scales8'] = jnp.concatenate([l['scales8'] for l in lins], 0)
     # pre_t scales [ng, N] concat on N (axis 1); legacy [N, ng] on 0
     sa = 1 if lins[0]['scales'].shape[1] == lins[0]['qweight'].shape[0] \
         else 0
@@ -175,14 +219,18 @@ def pack_head(params: Dict, cfg, wspec: QuantSpec,
 def pack_model(model, wspec: QuantSpec,
                a_spec: Optional[QuantSpec] = None,
                fuse: bool = False, pre_t: bool = True,
-               head: bool = False, a_int8: bool = False) -> QMap:
+               head: bool = False, a_int8: bool = False,
+               w8_prefill: bool = False) -> QMap:
     """In-place: pack every block's linears; returns the serving QMap.
     ``head`` also packs the lm_head (weight-only, untied models);
-    ``a_int8`` serves W4A8 (per-token dynamic int8 activations)."""
+    ``a_int8`` serves W4A8 (per-token dynamic int8 activations);
+    ``w8_prefill`` additionally stores the per-channel int8 companion
+    copy each linear (engine prefill fast path — 2x weight HBM)."""
     layout = model.get_layout()
     for i in range(model.n_blocks):
         model.set_block(i, pack_block(model.blocks[i], model.cfg, wspec,
-                                      layout, fuse=fuse, pre_t=pre_t))
+                                      layout, fuse=fuse, pre_t=pre_t,
+                                      w8_prefill=w8_prefill))
     if head:
         model.params = pack_head(model.params, model.cfg, wspec,
                                  pre_t=pre_t)

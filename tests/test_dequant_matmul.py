@@ -371,3 +371,41 @@ def test_a8_staged_close_to_a8():
                                                out_dtype=jnp.float32))
     rel = np.abs(got - base).mean() / (np.abs(base).mean() + 1e-9)
     assert rel < 0.01, rel
+
+
+def test_engine_prefill_w8_companion():
+    """ServingEngine(prefill_w8=True): prefills ride the per-channel
+    int8 companion copy; tokens must largely match the plain w4 engine
+    (w8-per-channel adds sub-w4-step weight noise)."""
+    import numpy as np
+    from llmc_tpu.models import LlamaAdapter, LlamaConfig
+    from llmc_tpu.quant import QuantSpec
+    from llmc_tpu.serve.packed import pack_model
+    from llmc_tpu.serve.engine import Request, ServingEngine
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      head_dim=16, dtype='float32')
+    wspec = QuantSpec(bit=4, symmetric=True, granularity='per_group',
+                      group_size=32)
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(0, 128, (5 + i,)) for i in range(3)]
+    outs = {}
+    for w8 in (False, True):
+        m = LlamaAdapter.random(cfg, seed=0)
+        qmap = pack_model(m, wspec, fuse=True, w8_prefill=w8)
+        if w8:
+            blk = m.blocks[0]['self_attn']['qkv_proj']
+            assert 'qweight8' in blk and blk['qweight8'].shape == \
+                blk['qweight'].shape[:1] + (64,)
+        eng = ServingEngine(m, qmap=qmap, max_batch=2, max_len=48,
+                            prefill_buckets=(8, 16), prefill_w8=w8)
+        reqs = [Request(uid=i, prompt_ids=p, max_new_tokens=5)
+                for i, p in enumerate(prompts)]
+        eng.run(reqs)
+        assert all(r.done and len(r.output_ids) == 5 for r in reqs)
+        outs[w8] = [list(r.output_ids) for r in reqs]
+    n_tok = sum(len(o) for o in outs[False])
+    n_same = sum(a == b for x, y in zip(outs[False], outs[True])
+                 for a, b in zip(x, y))
+    assert n_same >= n_tok - 3, (outs, n_same, n_tok)

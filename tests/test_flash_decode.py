@@ -79,16 +79,21 @@ def test_pick_chunk_divides():
 
 
 def test_attn_dispatch_table():
-    """Shape-keyed dispatch (PERF.md crossover): chunked at serving
-    shapes, flash at long-context low-batch; env override wins."""
+    """Shape-keyed dispatch (PERF.md r5 FULL-GRAPH table): chunked in
+    the unrolled layer-loop regime, flash only in scan mode at
+    B <= 64."""
     from llmc_tpu.serve import decode as D
     assert D.ATTN_IMPL == 'auto'          # shipped default
-    assert D._pick_attn(128, 96) == 'chunked'
-    assert D._pick_attn(64, 2048) == 'chunked'    # big batch: einsum wins
-    assert D._pick_attn(1, 16384) == 'flash'
-    assert D._pick_attn(8, 4096) == 'flash'
-    assert D._pick_attn(8, 2048) == 'chunked'     # below the S crossover
-    assert D._pick_attn(16, 8192) == 'chunked'    # above the B crossover
+    dims = dict(kvh=32, hd=128, n_layers=32)     # Llama-2-7B
+    pick = lambda B, S: D._pick_attn(B, S, dims['kvh'], dims['hd'],
+                                     dims['n_layers'])
+    assert pick(128, 96) == 'chunked'     # unroll regime (bench shape)
+    assert pick(64, 192) == 'chunked'     # unroll regime
+    assert pick(1, 8192) == 'chunked'     # unroll regime even at S=8k
+    assert pick(1, 16384) == 'flash'      # scan regime, B <= 64
+    assert pick(8, 4096) == 'flash'
+    assert pick(64, 4096) == 'flash'
+    assert pick(128, 4096) == 'chunked'   # scan regime, B > 64
 
 
 def test_long_context_decode_cpu_fallback():
