@@ -11,7 +11,8 @@ the active slots while the long admission is in flight.
 
 Run on the real chip: python tools/engine_latency.py
 Env: LAT_CHUNK (prefill chunk, default 128), LAT_PROMPT (long prompt
-length, default 512), LAT_SMALL=1 (tiny model smoke).
+length, default 512), LAT_SMALL=1 (tiny model smoke), LAT_WINDOW
+(decode_steps_per_sync for a K-step-window mode row).
 """
 
 import json
@@ -50,7 +51,7 @@ def build():
     return model, qmap
 
 
-def run_mode(model, qmap, chunk, long_prompt, label):
+def run_mode(model, qmap, chunk, long_prompt, label, window=1):
     rng = np.random.RandomState(0)
     V = model.cfg.vocab_size
     n_active = 4
@@ -58,7 +59,8 @@ def run_mode(model, qmap, chunk, long_prompt, label):
                         max_len=long_prompt + 96,
                         kv_policy=KVCachePolicy(method='naive', bit=8),
                         prefill_buckets=(32, long_prompt),
-                        prefill_chunk=chunk)
+                        prefill_chunk=chunk,
+                        decode_steps_per_sync=window)
     # warm the long-prompt admission path OUTSIDE the measured window
     # (compiles of the prefill / chunk-step programs)
     warm = Request(uid=98, prompt_ids=rng.randint(0, V, (long_prompt,)),
@@ -84,7 +86,7 @@ def run_mode(model, qmap, chunk, long_prompt, label):
     ttft_req = None
     gaps = []
     t_prev = time.time()
-    for _ in range(40):
+    for _ in range(40 // window):   # same token budget per mode
         eng.step()
         now = time.time()
         gaps.append((now - t_prev) * 1e3)
@@ -93,7 +95,7 @@ def run_mode(model, qmap, chunk, long_prompt, label):
         t_prev = now
     gaps = np.asarray(gaps)
     print(json.dumps({
-        'mode': label, 'chunk': chunk,
+        'mode': label, 'chunk': chunk, 'window': window,
         'inter_token_p50_ms': round(float(np.percentile(gaps, 50)), 1),
         'inter_token_p95_ms': round(float(np.percentile(gaps, 95)), 1),
         'inter_token_p99_ms': round(float(np.percentile(gaps, 99)), 1),
@@ -110,6 +112,14 @@ def main():
     model, qmap = build()
     run_mode(model, qmap, None, long_prompt, 'monolithic')
     run_mode(model, qmap, chunk, long_prompt, 'chunked')
+    window = int(os.environ.get('LAT_WINDOW', '4'))
+    if window > 1:
+        # K-step windows: K tokens per host round-trip — the
+        # dispatch-amortized throughput mode; tokens arrive in bursts
+        # of K, so the inter-token gap distribution is bimodal (~0
+        # within a window, ~K*step at window boundaries)
+        run_mode(model, qmap, chunk, long_prompt, 'chunked+window',
+                 window=window)
 
 
 if __name__ == '__main__':
