@@ -21,6 +21,14 @@ dequantized element-wise: the per-(token,head) K scale multiplies the
 POST-DOT scores and the V scale folds into the probabilities (the same
 folding the XLA path proved numerically, serve/decode.py:84-113).
 
+DISPOSITION (r5, PERF.md): wins ISOLATED at B=128/S=96 (0.258 vs XLA
+chunked 0.379 ms/layer) but LOSES inside the full decode graph at
+every measured shape — the opaque custom call forfeits the overlap XLA
+schedules between the native chunked reads and the weight stream, and
+cache pass-through aliasing (below) does not recover it.  Never picked
+by the auto dispatch; kept as a measured baseline and for LLMC_ATTN=
+batch experiments.
+
 Chunks past a block's valid prefix are skipped: the index map clamps to
 the last valid chunk (Pallas's revisiting-block elision drops the DMA)
 and ``pl.when`` drops the compute.

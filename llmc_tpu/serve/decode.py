@@ -35,8 +35,8 @@ CHUNKED_MIN_LEN = int(_os.environ.get('LLMC_CHUNKED_MIN', '0'))
 _CHUNK_OPTS = (512, 256, 128, 64, 32)
 # Pallas flash-decode kernel (ops/flash_decode.py): one pallas_call per
 # layer streams the valid KV prefix with pipelined chunk DMAs.
-# LLMC_ATTN=auto|flash|chunked|full.  Default 'auto' dispatches on the
-# measured crossover (see _pick_attn).
+# LLMC_ATTN=auto|flash|chunked|batch|full.  Default 'auto' dispatches
+# on the measured FULL-GRAPH crossover (see _pick_attn).
 ATTN_IMPL = _os.environ.get('LLMC_ATTN', 'auto')
 # Measured FULL-GRAPH dispatch (tools/longctx_probe.py r5, marginal
 # decode step, v5e; the r4 boundary was interpolated from ISOLATED

@@ -79,7 +79,6 @@ def prefill_qmap_from(qmap: QMap) -> QMap:
     every packed block linear is rerouted through ('qweight8',
     'scales8') with the per-channel int8 MXU dot; the lm_head keeps its
     packed-w4 weight-only entry."""
-    import dataclasses
     entries = {}
     for path, qc in qmap._d.items():
         if qc is None or not getattr(qc, 'w_packed', False) \
