@@ -444,6 +444,7 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
                 # only the (uniform) activation policy at runtime.
                 if not getattr(self, '_baked', False):
                     self.bake_fake_quant_weights()
+                    self._baked = True   # save_fake must not re-bake
                 entries = {}
                 for p in self.layout.linears:
                     qcs = [pb[p] for pb in per_block]

@@ -28,6 +28,19 @@ from . import llama as L
 F32 = jnp.float32
 
 
+def _require_arch(m: dict) -> dict:
+    """model.arch for a synthetic build — ONLY when explicitly present.
+    A missing/typo'd model.path must fail loudly, not quietly quantize a
+    randomly-initialized model whose metrics look plausible (ADVICE r4;
+    generalized to every adapter in r5)."""
+    if 'arch' not in m:
+        raise ValueError(
+            "model.path is missing/empty; set model.path to a checkpoint "
+            "or pass model.arch explicitly for a synthetic model")
+    return dict(m['arch'])
+
+
+
 def _config_dtype(s: str):
     """Normalize HF-config dtype strings ('torch.float16', 'auto', ...)
     to a jnp dtype; fp16 maps to bf16 (no fp16 matmuls on TPU)."""
@@ -207,7 +220,7 @@ class LlamaAdapter(BaseAdapter):
             return cls.from_pretrained(
                 m['path'], dtype=_config_dtype(m.get('torch_dtype',
                                                      'bfloat16')))
-        arch = dict(m.get('arch', {}))
+        arch = _require_arch(m)
         cfg = cls.config_cls(**arch)
         key = jax.random.PRNGKey(int(m.get('seed', 0)))
         return cls(cfg, L.init_params(cfg, key))
@@ -386,7 +399,7 @@ class MixtralAdapter(LlamaAdapter):
         m = config['model']
         if m.get('path'):
             return cls.from_pretrained(m['path'])
-        cfg = MX.MixtralConfig(**dict(m.get('arch', {})))
+        cfg = MX.MixtralConfig(**_require_arch(m))
         return cls(cfg, MX.init_params(cfg, jax.random.PRNGKey(
             int(m.get('seed', 0)))))
 
@@ -452,14 +465,7 @@ class DeepseekV2Adapter(BaseAdapter):
         m = config['model']
         if m.get('path'):
             return cls.from_pretrained(m['path'])
-        # synthetic model ONLY on an explicit 'arch' request: a missing/
-        # typo'd path must fail loudly, not yield a random model whose
-        # quantization results look plausible but are garbage (ADVICE r4)
-        if 'arch' not in m:
-            raise ValueError(
-                "model.path is missing/empty; set model.path to a "
-                "checkpoint or pass model.arch for a synthetic model")
-        cfg = DS.DeepseekConfig(**dict(m['arch']))
+        cfg = DS.DeepseekConfig(**_require_arch(m))
         return cls(cfg, DS.init_params(cfg, jax.random.PRNGKey(
             int(m.get('seed', 0)))))
 
@@ -567,7 +573,7 @@ class Qwen2MoeAdapter(MixtralAdapter):
         m = config['model']
         if m.get('path'):
             return cls.from_pretrained(m['path'])
-        cfg = QM.Qwen2MoeConfig(**dict(m.get('arch', {})))
+        cfg = QM.Qwen2MoeConfig(**_require_arch(m))
         return cls(cfg, QM.init_params(cfg, jax.random.PRNGKey(
             int(m.get('seed', 0)))))
 
@@ -611,7 +617,7 @@ class OptAdapter(BaseAdapter):
         m = config['model']
         if m.get('path'):
             return cls.from_pretrained(m['path'])
-        cfg = O.OptConfig(**dict(m.get('arch', {})))
+        cfg = O.OptConfig(**_require_arch(m))
         return cls(cfg, O.init_params(cfg, jax.random.PRNGKey(
             int(m.get('seed', 0)))))
 
@@ -1279,7 +1285,7 @@ class LlavaAdapter(LlamaAdapter):
         m = config['model']
         if m.get('path'):
             return cls.from_pretrained(m['path'])
-        arch = dict(m.get('arch', {}))
+        arch = _require_arch(m)
         varch = arch.pop('vision', {})
         vcfg = LV.LlavaConfig.clip_block_cfg(
             varch.get('hidden_size', 32),
@@ -1443,7 +1449,7 @@ class Qwen2VLAdapter(LlamaAdapter):
         m = config['model']
         if m.get('path'):
             return cls.from_pretrained(m['path'])
-        arch = dict(m.get('arch', {}))
+        arch = _require_arch(m)
         varch = arch.pop('vision', {})
         embed = varch.get('hidden_size', 32)
         vcfg = QV.Qwen2VLConfig.vit_block_cfg(
@@ -1618,7 +1624,7 @@ class InternVLAdapter(LlamaAdapter):
         m = config['model']
         if m.get('path'):
             return cls.from_pretrained(m['path'])
-        arch = dict(m.get('arch', {}))
+        arch = _require_arch(m)
         varch = arch.pop('vision', {})
         vcfg = IV.InternVLConfig.vit_block_cfg(
             varch.get('hidden_size', 32),
@@ -1767,7 +1773,7 @@ class LlavaOneVisionAdapter(LlamaAdapter):
         m = config['model']
         if m.get('path'):
             return cls.from_pretrained(m['path'])
-        arch = dict(m.get('arch', {}))
+        arch = _require_arch(m)
         varch = arch.pop('vision', {})
         vcfg = OV.LlavaOnevisionConfig.siglip_block_cfg(
             varch.get('hidden_size', 32),
@@ -1961,7 +1967,7 @@ class VideoLlavaAdapter(LlavaAdapter):
                 video_token_index=hf.get('video_token_index', 32001),
                 num_frames=hf.get('num_frames', 8))
             return self
-        arch = dict(m.get('arch', {}))
+        arch = _require_arch(m)
         varch = arch.pop('vision', {})
         vcfg = LV.LlavaConfig.clip_block_cfg(
             varch.get('hidden_size', 32),
@@ -2088,7 +2094,7 @@ class Qwen2AudioAdapter(LlamaAdapter):
         m = config['model']
         if m.get('path'):
             return cls.from_pretrained(m['path'])
-        arch = dict(m.get('arch', {}))
+        arch = _require_arch(m)
         aarch = arch.pop('audio', {})
         extra = {k: arch.pop(k) for k in
                  ('num_mel_bins', 'max_source_positions',
@@ -2246,7 +2252,7 @@ class MiniCPMVAdapter(LlamaAdapter):
         m = config['model']
         if m.get('path'):
             return cls.from_pretrained(m['path'])
-        arch = dict(m.get('arch', {}))
+        arch = _require_arch(m)
         varch = arch.pop('vision', {})
         vcfg = LlavaOnevisionConfig.siglip_block_cfg(
             varch.get('hidden_size', 32),
@@ -2374,7 +2380,7 @@ class VilaAdapter(LlamaAdapter):
         m = config['model']
         if m.get('path'):
             return cls.from_pretrained(m['path'])
-        arch = dict(m.get('arch', {}))
+        arch = _require_arch(m)
         arch.pop('vision', None)
         media = arch.pop('media_token_index', 0)
         return cls(L.LlamaConfig(**arch),
@@ -2469,7 +2475,7 @@ class MllamaAdapter(LlamaAdapter):
         m = config['model']
         if m.get('path'):
             return cls.from_pretrained(m['path'])
-        arch = dict(m.get('arch', {}))
+        arch = _require_arch(m)
         xl = tuple(arch.pop('cross_attention_layers', ()))
         cfg = ML.MllamaConfig(text=L.LlamaConfig(**arch),
                               cross_attention_layers=xl)
@@ -2542,7 +2548,7 @@ class Glm4vAdapter(GlmAdapter):
     def from_config(cls, config):
         from .llava import LlavaConfig
         m = config['model']
-        arch = dict(m.get('arch', {}))
+        arch = _require_arch(m)
         varch = arch.pop('vision', None)
         image_token = arch.pop('image_token_index', 0)
         arch.setdefault('rotary_pct', 0.5)
@@ -2692,7 +2698,7 @@ class InternOmniAdapter(LlamaAdapter):
     def from_config(cls, config):
         from . import qwen2audio as QA
         m = config['model']
-        arch = dict(m.get('arch', {}))
+        arch = _require_arch(m)
         aarch = arch.pop('audio', {})
         audio_token = arch.pop('audio_token_index', 1)
         cfg = L.LlamaConfig(**arch)
@@ -2793,7 +2799,7 @@ class WanT2VAdapter(BaseAdapter):
         cc = config.get('calib', {})
         if m.get('path'):
             return cls.from_pretrained(m['path'], calib_cfg=cc)
-        arch = dict(m.get('arch', {}))
+        arch = _require_arch(m)
         cfg = WN.WanConfig(**arch) if arch else WN.WanConfig.tiny()
         key = jax.random.PRNGKey(int(m.get('seed', 0)))
         return cls(cfg, WN.random_params(key, cfg), calib_cfg=cc)

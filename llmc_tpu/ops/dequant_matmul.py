@@ -140,6 +140,48 @@ def _dequant_matmul_xla(x, packed, scales, zeros, meta: QMeta,
     return y.astype(out_dtype or x.dtype)
 
 
+def _quant_act_token(x):
+    """Dynamic per-token symmetric int8 (W4A8 runtime; reference
+    semantics: a_qcfg per_token dynamic, quant.py).  Returns (xq int8,
+    sx [M,1] f32)."""
+    ax = jnp.max(jnp.abs(x.astype(F32)), axis=-1, keepdims=True)
+    sx = jnp.maximum(ax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(F32) / sx), -127,
+                  127).astype(jnp.int8)
+    return xq, sx
+
+
+# prefill staging threshold: at M >= this, the a8 path re-quantizes the
+# w4 weights to per-channel int8 ONCE per call and runs ONE full-K
+# int8 MXU dot — the Pallas w4 kernel is VPU-bound (~130 TF ceiling:
+# nibble decode + per-group scale epilogue) while the staged dot
+# sustains ~570 TF at M=4096 (PERF.md r5).  Decode (small M) keeps the
+# fused kernel: staging would double the weight stream.
+# Default OFF (2**62): measured r5, the per-call staging chain
+# (unpack -> dequant f32 -> requant int8) does NOT fuse — its
+# materializations cost more than the int8 dot saves (TTFT 643 ms vs
+# 516 baseline).  The winning form is PERSISTENT per-channel int8
+# weights (bits=8 + a_int8 path below, 'w8 prefill artifact').
+A8_STAGE_MIN_M = int(__import__('os').environ.get('LLMC_A8_STAGE_MIN_M',
+                                                  str(2 ** 62)))
+
+
+def _dequant_matmul_a8_staged(x, packed, scales, zeros, meta: QMeta,
+                              out_dtype=None):
+    """W4A8 prefill path: w4 -> per-channel int8 weight staging + one
+    int8 MXU dot.  Extra weight error <= half the per-channel int8 step
+    (max|W_n|/254) — finer than the w4 grid except for groups whose
+    scale is >16x below the channel max."""
+    xq, sx = _quant_act_token(x)
+    w = dequant_weight_xla(packed, scales, zeros, meta)     # [N, K] f32
+    w8, s8 = _quant_act_token(w)    # per-'row' = per output channel
+    y = jax.lax.dot_general(xq, w8, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(F32) * (sx * s8[:, 0][None, :])
+    return y.astype(out_dtype or x.dtype)
+
+
+
 # --------------------------------------------------------------------------
 # Pallas TPU kernel
 # --------------------------------------------------------------------------
@@ -256,10 +298,11 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-# Measured tile table (tools / PERF.md r5): the cell-count model below
-# is a fallback; where a serving shape was swept on the chip, ship the
-# measured winner.  Keyed (N, ng) at tm=128 (the serving decode M).
-# A/B knob: LLMC_W4_TABLE="N,ng,tn,p;..." overrides per shape.
+# Per-shape tile override table, keyed (N, ng) at tm<=128; populated
+# ONLY from the LLMC_W4_TABLE env ("N,ng,tn,p;...") for A/B sweeps.
+# Ships EMPTY on purpose: the r5 end-to-end sweep found the cell-count
+# model below already optimal (micro-probe "winners" lost in-graph,
+# PERF.md r5 tile-table negative result).
 _MEASURED_TILES = {}
 
 
@@ -350,11 +393,10 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
         sx = None
         if a_int8:
             # dynamic per-token symmetric int8 (reference W4A8 runtime
-            # semantics: quant.py a_qcfg per_token dynamic)
-            ax = jnp.max(jnp.abs(x.astype(F32)), axis=1, keepdims=True)
-            sx = jnp.maximum(ax, 1e-8) / 127.0
-            x = jnp.clip(jnp.round(x.astype(F32) / sx), -127,
-                         127).astype(jnp.int8)
+            # semantics: quant.py a_qcfg per_token dynamic) — the ONE
+            # shared recipe (_quant_act_token) so the kernel, the XLA
+            # emulation oracle, and the w8 companion cannot drift
+            x, sx = _quant_act_token(x)
         if ng > 1:
             tn, pairs = _choose_w4_tiles(N, tm, gs, ng)
             span = pairs * 2 * gs
@@ -441,49 +483,6 @@ def dequant_matmul_pallas(x, packed, scales, zeros, meta: QMeta,
 # --------------------------------------------------------------------------
 # Public entry
 # --------------------------------------------------------------------------
-
-def _quant_act_token(x):
-    """Dynamic per-token symmetric int8 (W4A8 runtime; reference
-    semantics: a_qcfg per_token dynamic, quant.py).  Returns (xq int8,
-    sx [M,1] f32)."""
-    ax = jnp.max(jnp.abs(x.astype(F32)), axis=-1, keepdims=True)
-    sx = jnp.maximum(ax, 1e-8) / 127.0
-    xq = jnp.clip(jnp.round(x.astype(F32) / sx), -127,
-                  127).astype(jnp.int8)
-    return xq, sx
-
-
-# prefill staging threshold: at M >= this, the a8 path re-quantizes the
-# w4 weights to per-channel int8 ONCE per call and runs ONE full-K
-# int8 MXU dot — the Pallas w4 kernel is VPU-bound (~130 TF ceiling:
-# nibble decode + per-group scale epilogue) while the staged dot
-# sustains ~570 TF at M=4096 (PERF.md r5).  Decode (small M) keeps the
-# fused kernel: staging would double the weight stream.
-# Default OFF (2**62): measured r5, the per-call staging chain
-# (unpack -> dequant f32 -> requant int8) does NOT fuse — its
-# materializations cost more than the int8 dot saves (TTFT 643 ms vs
-# 516 baseline).  The winning form is PERSISTENT per-channel int8
-# weights (bits=8 + a_int8 path below, 'w8 prefill artifact').
-A8_STAGE_MIN_M = int(__import__('os').environ.get('LLMC_A8_STAGE_MIN_M',
-                                                  str(2 ** 62)))
-
-
-def _dequant_matmul_a8_staged(x, packed, scales, zeros, meta: QMeta,
-                              out_dtype=None):
-    """W4A8 prefill path: w4 -> per-channel int8 weight staging + one
-    int8 MXU dot.  Extra weight error <= half the per-channel int8 step
-    (max|W_n|/254) — finer than the w4 grid except for groups whose
-    scale is >16x below the channel max."""
-    xq, sx = _quant_act_token(x)
-    w = dequant_weight_xla(packed, scales, zeros, meta)     # [N, K] f32
-    s8 = jnp.maximum(jnp.max(jnp.abs(w), axis=1, keepdims=True),
-                     1e-8) / 127.0
-    w8 = jnp.clip(jnp.round(w / s8), -127, 127).astype(jnp.int8)
-    y = jax.lax.dot_general(xq, w8, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-    y = y.astype(F32) * (sx * s8[:, 0][None, :])
-    return y.astype(out_dtype or x.dtype)
-
 
 def _dequant_matmul_xla_a8(x, packed, scales, zeros, meta: QMeta,
                            out_dtype=None):

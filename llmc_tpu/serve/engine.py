@@ -223,8 +223,12 @@ class ServingEngine:
         self._host_pos = np.zeros((self.B,), np.int64)
         # per-slot sampling nonce: a fresh value per ADMISSION, folded
         # into the key with the generated-token index (see
-        # sample_logits_per_slot)
-        self.slot_nonce = np.zeros((self.B,), np.int64)
+        # sample_logits_per_slot).  Device-resident, updated only at
+        # admission — NOT rebuilt/uploaded per step.  _start_pos mirrors
+        # the prompt length so the per-slot generated-token index is
+        # computed IN-GRAPH as pos - start + 1.
+        self.slot_nonce = jnp.zeros((self.B,), jnp.int32)
+        self._start_pos = jnp.zeros((self.B,), jnp.int32)
         self._admit_seq = 0
         self._prefill_chunk_jit = jax.jit(self._prefill_chunk_step,
                                           static_argnames=('fp_local',))
@@ -253,7 +257,8 @@ class ServingEngine:
         if self.mla:
             from .mla_decode import mla_forward_cached
             return mla_forward_cached(params, self.cfg, ids, cache,
-                                      qmap)
+                                      qmap,
+                                      latent_bit=int(self.policy.bit))
         # unroll below the 2^31-element cache-buffer boundary, scan
         # above it (decode.prefer_unroll: in-place updates degrade to
         # whole-buffer copies past the boundary).  Keyed on the cache
@@ -269,8 +274,11 @@ class ServingEngine:
                               unroll=unroll)
 
     def _decode_step(self, params, stacked, toks, cache, active, key,
-                     nonce, n_gen):
+                     nonce, start_pos):
         pos_before = cache['pos']
+        # generated-token index per slot, IN-GRAPH (pos advanced once
+        # per prior step; the prefill token was index 0)
+        n_gen = pos_before - start_pos + 1
         # unroll=True: the scan-over-layers path CARRIES the KV cache and
         # XLA double-buffers scan carries — an extra cache-sized HBM
         # buffer plus copy traffic (measured 5013 -> 5800 tok/s at B=128
@@ -285,7 +293,7 @@ class ServingEngine:
         return nxt, cache
 
     def _decode_multi(self, params, stacked, toks, cache, active, key,
-                      nonce, n_gen, n_steps: int):
+                      nonce, start_pos, n_steps: int):
         """``n_steps`` decode steps in ONE device program (lax.scan with
         in-graph sampling) — one host round-trip emits n_steps tokens
         per slot, amortizing the per-dispatch overhead (~2.6 ms/step of
@@ -294,14 +302,14 @@ class ServingEngine:
         emitted tokens are BIT-IDENTICAL to n_steps single
         ``_decode_step`` calls (tests/test_engine_multistep.py)."""
         def step(carry, _):
-            toks, cache, n_gen = carry
+            toks, cache = carry
             nxt, cache = self._decode_step(params, stacked, toks, cache,
-                                           active, key, nonce, n_gen)
+                                           active, key, nonce,
+                                           start_pos)
             toks = jnp.where(active, nxt, toks)
-            n_gen = n_gen + active.astype(n_gen.dtype)
-            return (toks, cache, n_gen), nxt
-        (toks, cache, _), out = jax.lax.scan(
-            step, (toks, cache, n_gen), None, length=n_steps)
+            return (toks, cache), nxt
+        (toks, cache), out = jax.lax.scan(
+            step, (toks, cache), None, length=n_steps)
         return out.T, toks, cache               # out: [B, n_steps]
 
     def _local_prefill(self, params, stacked, ids, slen, batch,
@@ -461,7 +469,8 @@ class ServingEngine:
                           pos=self.cache['pos'].at[b].set(P))
         self._host_pos[b] = P
         self._admit_seq += 1
-        self.slot_nonce[b] = self._admit_seq
+        self.slot_nonce = self.slot_nonce.at[b].set(self._admit_seq)
+        self._start_pos = self._start_pos.at[b].set(P)
         self.last_tok = self.last_tok.at[b].set(nxt)
         self.active[b] = True
         self.slot_req[b] = req
@@ -628,7 +637,7 @@ class ServingEngine:
         act = jnp.asarray(self.active)
         nxt, self.cache = self._decode_jit(
             self.params, self.stacked, self.last_tok, self.cache, act,
-            self.key, jnp.asarray(self.slot_nonce), self._n_gen())
+            self.key, self.slot_nonce, self._start_pos)
         self.last_tok = jnp.where(act, nxt, self.last_tok)
         nxt_np = np.asarray(nxt)
         pos_np = np.asarray(self.cache['pos'])
@@ -645,14 +654,6 @@ class ServingEngine:
                 self._retire(b, req)
         return True
 
-    def _n_gen(self):
-        """[B] int32: tokens generated so far per slot (the per-slot
-        sampling key folds this in, so a token's draw depends only on
-        its request and position)."""
-        return jnp.asarray([len(r.output_ids) if r is not None
-                            and r.output_ids is not None else 0
-                            for r in self.slot_req], jnp.int32)
-
     def _step_window(self, K: int):
         """K decode steps in one device program; retire/EOS checks move
         to window granularity with the overshoot trimmed (tokens past
@@ -660,8 +661,7 @@ class ServingEngine:
         act = jnp.asarray(self.active)
         out, last, self.cache = self._decode_multi_jit(
             self.params, self.stacked, self.last_tok, self.cache, act,
-            self.key, jnp.asarray(self.slot_nonce), self._n_gen(),
-            n_steps=K)
+            self.key, self.slot_nonce, self._start_pos, n_steps=K)
         self.last_tok = jnp.where(act, last, self.last_tok)
         out_np = np.asarray(out)                 # [B, K]
         self._host_pos[self.active] += K

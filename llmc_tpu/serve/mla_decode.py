@@ -133,7 +133,8 @@ def _mla_decode_attn_chunked(q_lat, q_pe, cache, layer, chunk: int):
 
 
 def _mla_block_cached(bp: Dict, cfg: DS.DeepseekConfig, x, cos, sin,
-                      cache: Dict, layer: int, qmap=None):
+                      cache: Dict, layer: int, qmap=None,
+                      latent_bit: int = 8):
     B, S, D = x.shape
     H = cfg.num_attention_heads
     dn, dr, dv = (cfg.qk_nope_head_dim, cfg.qk_rope_head_dim,
@@ -180,7 +181,7 @@ def _mla_block_cached(bp: Dict, cfg: DS.DeepseekConfig, x, cos, sin,
 
     cache = dict(cache)
     if quant:
-        ckv_codes, ckv_scale = _quant_latent(kv_an)
+        ckv_codes, ckv_scale = _quant_latent(kv_an, bit=latent_bit)
         cq_full = upd(cache['ckv_q'], ckv_codes)
         cs_full = upd(cache['ckv_s'], ckv_scale)
         cache['ckv_q'] = cache['ckv_q'].at[layer].set(cq_full)
@@ -242,9 +243,13 @@ def _mla_block_cached(bp: Dict, cfg: DS.DeepseekConfig, x, cos, sin,
 
 
 def mla_forward_cached(params: Dict, cfg: DS.DeepseekConfig, ids,
-                       cache: Dict, qmap=None) -> Tuple[jax.Array, Dict]:
+                       cache: Dict, qmap=None,
+                       latent_bit: int = 8) -> Tuple[jax.Array, Dict]:
     """Run ``ids`` against the latent cache; returns (logits, cache).
-    ``cache['pos']`` may be scalar (lockstep) or per-slot [B] (engine)."""
+    ``cache['pos']`` may be scalar (lockstep) or per-slot [B] (engine).
+    ``latent_bit``: quantized-latent bit width (cache built with
+    init_mla_cache(quant_bit=...); engines pass their KV policy's
+    bit so int4 latents are actually int4, not silently int8)."""
     S = ids.shape[1]
     x = params['embed_tokens']['w'][ids]
     pos0 = cache['pos']
@@ -255,7 +260,7 @@ def mla_forward_cached(params: Dict, cfg: DS.DeepseekConfig, ids,
     cos, sin = DS.rope_freqs(cfg, positions)
     for layer, bp in enumerate(params['blocks']):
         x, cache = _mla_block_cached(bp, cfg, x, cos, sin, cache, layer,
-                                     qmap)
+                                     qmap, latent_bit=latent_bit)
     cache = dict(cache, pos=cache['pos'] + S)
     h = rms_norm(x, params['norm']['w'], cfg.rms_norm_eps)
     logits = jnp.dot(h, params['lm_head']['w'].T,

@@ -86,8 +86,12 @@ def prefill_qmap_from(qmap: QMap) -> QMap:
             entries[path] = qc
             continue
         m = qc.qmeta
-        entries[path] = LinearQcfg(
-            w_packed=True, a_int8=True, w8_alt=True,
+        # preserve every non-weight field of the serving entry (a_spec,
+        # a_static, outlier thresholds, ...): only the weight path and
+        # the act-int8 routing change
+        import dataclasses as _dc
+        entries[path] = _dc.replace(
+            qc, a_int8=True, w8_alt=True,
             qmeta=QMeta(bits=8, group_size=m.in_features,
                         symmetric=True, out_features=m.out_features,
                         in_features=m.in_features))
@@ -96,12 +100,12 @@ def prefill_qmap_from(qmap: QMap) -> QMap:
 
 def w8_companion(w: jax.Array):
     """(codes int8 [N, K], scales [N]) per-channel symmetric int8 of a
-    weight — the prefill companion copy."""
-    wf = w.astype(F32)
-    s8 = jnp.maximum(jnp.max(jnp.abs(wf), axis=1), 1e-8) / 127.0
-    q = jnp.clip(jnp.round(wf / s8[:, None]), -127,
-                 127).astype(jnp.int8)
-    return q, s8
+    weight — the prefill companion copy.  Same recipe as the activation
+    quantizer (per-'row' symmetric /127) so all int8 paths share one
+    definition."""
+    from ..ops.dequant_matmul import _quant_act_token
+    q, s8 = _quant_act_token(w)
+    return q, s8[:, 0]
 
 
 def pack_block(block: Dict, cfg, wspec: QuantSpec, layout,

@@ -57,7 +57,7 @@ def compiled_step():
                         prefill_buckets=(8,))
     args = (eng.params, eng.stacked, eng.last_tok, eng.cache,
             jnp.ones((eng.B,), bool), eng.key,
-            jnp.asarray(eng.slot_nonce), eng._n_gen())
+            eng.slot_nonce, eng._start_pos)
     txt = eng._decode_jit.lower(*args).compile().as_text()
     return cfg, eng, txt
 
@@ -103,6 +103,6 @@ def test_collectives_absent_without_mesh():
                         prefill_buckets=(8,))
     args = (eng.params, eng.stacked, eng.last_tok, eng.cache,
             jnp.ones((eng.B,), bool), eng.key,
-            jnp.asarray(eng.slot_nonce), eng._n_gen())
+            eng.slot_nonce, eng._start_pos)
     txt = eng._decode_jit.lower(*args).compile().as_text()
     assert not _collect_collectives(txt)
