@@ -104,3 +104,18 @@ def test_engine_mla_int8_latent_window():
                         decode_steps_per_sync=4)
     r1 = _reqs(); win.run(r1)
     assert [r.output_ids for r in r0] == [r.output_ids for r in r1]
+
+
+def test_engine_mla_int4_latent_honors_bit():
+    """KVCachePolicy(bit=4) must actually produce int4-range latent
+    codes (the bit was silently ignored before r5's fix)."""
+    m = _deepseek()
+    pol = KVCachePolicy(method='naive', bit=4)
+    eng = ServingEngine(m, max_batch=2, max_len=64,
+                        prefill_buckets=(16,), kv_policy=pol)
+    reqs = _reqs(n=2)
+    eng.run(reqs)
+    assert all(r.done for r in reqs)
+    codes = np.asarray(eng.cache['ckv_q'])
+    assert np.abs(codes).max() <= 8, np.abs(codes).max()
+    assert np.abs(codes).max() > 0          # something was written
