@@ -206,6 +206,22 @@ class ServingEngine:
         self.qmap_prefill = qmap
         if prefill_w8 and qmap is not None and not self.mla:
             from .packed import prefill_qmap_from
+            from ..models.base import get_path, has_path
+            # fail at CONSTRUCTION, not with a KeyError at the first
+            # admission: the companion must actually be packed in
+            blk0 = model.blocks[0]
+            packed_paths = [p for p in model.get_layout().linears
+                            if has_path(blk0, p)
+                            and 'qweight' in get_path(blk0, p)]
+            fused = [p for p in ('self_attn.qkv_proj',
+                                 'mlp.gate_up_proj')
+                     if has_path(blk0, p)]
+            for p in packed_paths + fused:
+                if 'qweight8' not in get_path(blk0, p):
+                    raise ValueError(
+                        f'prefill_w8=True but linear {p!r} has no w8 '
+                        f'companion — pack with '
+                        f'pack_model(..., w8_prefill=True)')
             self.qmap_prefill = prefill_qmap_from(qmap)
         self._prefill_jit = jax.jit(self._prefill,
                                     static_argnames=('slen',))

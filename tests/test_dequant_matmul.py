@@ -409,3 +409,24 @@ def test_engine_prefill_w8_companion():
     n_same = sum(a == b for x, y in zip(outs[False], outs[True])
                  for a, b in zip(x, y))
     assert n_same >= n_tok - 3, (outs, n_same, n_tok)
+
+
+def test_engine_prefill_w8_requires_companion():
+    """prefill_w8=True without pack_model(w8_prefill=True) must fail at
+    engine CONSTRUCTION with a clear message, not a KeyError at the
+    first admission."""
+    from llmc_tpu.models import LlamaAdapter, LlamaConfig
+    from llmc_tpu.quant import QuantSpec
+    from llmc_tpu.serve.packed import pack_model
+    from llmc_tpu.serve.engine import ServingEngine
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      head_dim=16, dtype='float32')
+    m = LlamaAdapter.random(cfg, seed=0)
+    qmap = pack_model(m, QuantSpec(bit=4, symmetric=True,
+                                   granularity='per_group',
+                                   group_size=32))   # no companion
+    with pytest.raises(ValueError, match='w8 companion'):
+        ServingEngine(m, qmap=qmap, max_batch=2, max_len=48,
+                      prefill_buckets=(8,), prefill_w8=True)
