@@ -123,15 +123,17 @@ def measure_sustained_bw(steps: int = 512) -> float:
 
 
 def _probe_backend(probe_timeout_s: int = 120,
-                   total_wait_s: int = 2400) -> None:
+                   total_wait_s: int = 9000) -> None:
     """Wait for the TPU tunnel with retry + backoff before giving up.
 
     jax backend init HANGS in-process on an unavailable tunnel, so the
     probe runs a trivial device computation in a subprocess under a
     timeout.  The axon tunnel is known to flake for >20-minute stretches
     (ROUND2.md), so a single attempt is not evidence the chip is gone:
-    retry with backoff for ``total_wait_s`` (default 40 min) and only
-    then abort with a diagnostic (exit 2)."""
+    retry with backoff for ``total_wait_s`` (default 150 min — an r5
+    outage ran >2.5 h) and only then abort with a diagnostic (exit 2).
+    BENCH_WAIT_S overrides."""
+    total_wait_s = int(os.environ.get('BENCH_WAIT_S', total_wait_s))
     import subprocess
     import sys
     deadline = time.time() + total_wait_s
