@@ -32,6 +32,12 @@ FP_POLICY = KVCachePolicy(method='fp')
 import os as _os
 CHUNKED_DECODE = _os.environ.get('LLMC_CHUNKED', '1') == '1'
 CHUNKED_MIN_LEN = int(_os.environ.get('LLMC_CHUNKED_MIN', '0'))
+# LLMC_CHUNK_UNROLL=1: statically unroll the chunk loop over ALL
+# chunks (reads the padded tail too) instead of the dynamic-trip
+# fori_loop — the loop-carried online softmax then exposes every chunk
+# DMA to XLA's scheduler at once.  A/B knob; loses the valid-prefix
+# byte savings.
+CHUNK_UNROLL = _os.environ.get('LLMC_CHUNK_UNROLL', '0') == '1'
 _CHUNK_OPTS = (512, 256, 128, 64, 32)
 # Pallas flash-decode kernel (ops/flash_decode.py): one pallas_call per
 # layer streams the valid KV prefix with pipelined chunk DMAs.
@@ -190,7 +196,13 @@ def _decode_attn_chunked(q, cache, layer, policy, cfg, chunk: int):
     m0 = jnp.full((B, KVH, G), -jnp.inf, F32)
     l0 = jnp.zeros((B, KVH, G), F32)
     a0 = jnp.zeros((B, KVH, G, hd), F32)
-    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, a0))
+    if CHUNK_UNROLL:
+        carry = (m0, l0, a0)
+        for it in range(Smax_chunks := (kbuf.shape[2] // chunk)):
+            carry = one(it * chunk, carry)
+        m, l, acc = carry
+    else:
+        m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, a0))
     ctx = acc / jnp.maximum(l[..., None], 1e-30)
     return ctx.reshape(B, 1, H, hd)
 
