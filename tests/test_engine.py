@@ -303,3 +303,30 @@ def test_engine_sink_policy_matches_lockstep():
             np.asarray(r.prompt_ids)[None, :]), 8, kv_policy=pol)
         got = np.asarray(ref)[0, len(r.prompt_ids):]
         np.testing.assert_array_equal(np.asarray(r.output_ids), got)
+
+
+def test_engine_paged_chunked_window_compose():
+    """All three serving features at once — paged int8 pool, chunked
+    admission, K-step decode windows — must stay token-exact vs the
+    plain dense engine."""
+    from llmc_tpu.serve.paged_cache import PagedKVPolicy
+    cfg = LlamaConfig(**TINY, dtype='float32')
+    m = LlamaAdapter.random(cfg, seed=41)
+    rng = np.random.RandomState(43)
+    prompts = [rng.randint(0, 128, (p,)) for p in (5, 19, 30)]
+    base = ServingEngine(m, max_batch=2, max_len=64,
+                         prefill_buckets=(16, 32))
+    reqs_b = [Request(uid=i, prompt_ids=p, max_new_tokens=6)
+              for i, p in enumerate(prompts)]
+    base.run(reqs_b)
+    pol = PagedKVPolicy(page_size=16, n_pages=10, max_pages=4, bit=0)
+    eng = ServingEngine(m, max_batch=2, max_len=64, kv_policy=pol,
+                        prefill_buckets=(16, 32), prefill_chunk=16,
+                        decode_steps_per_sync=3)
+    reqs_c = [Request(uid=i, prompt_ids=p, max_new_tokens=6)
+              for i, p in enumerate(prompts)]
+    eng.run(reqs_c)
+    for rb, rc in zip(reqs_b, reqs_c):
+        assert rc.done
+        np.testing.assert_array_equal(np.asarray(rb.output_ids),
+                                      np.asarray(rc.output_ids))
