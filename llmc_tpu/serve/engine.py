@@ -108,7 +108,8 @@ class ServingEngine:
                  prefill_chunk: Optional[int] = None,
                  prefill_chunks_per_step: int = 1,
                  decode_steps_per_sync: int = 1,
-                 prefill_w8: bool = False):
+                 prefill_w8: bool = False,
+                 decode_w8: bool = False):
         """``prefill_chunk``: admit requests in chunk-sized prefill
         slices interleaved between decode steps, so active slots never
         stall longer than one chunk's prefill (a monolithic 512-token
@@ -124,7 +125,13 @@ class ServingEngine:
         ``prefill_w8``: route prefills through each linear's w8
         companion copy (pack_model(w8_prefill=True)) — one full-K int8
         MXU dot per linear, TTFT 516 -> 337 ms on the 7B bench at the
-        cost of 2x weight HBM (PERF.md r5)."""
+        cost of 2x weight HBM (PERF.md r5).
+        ``decode_w8``: route DECODE through the same w8 companion —
+        W8A8 per-channel serving (reference W8A8 scope: SmoothQuant/
+        OS+ configs).  The fused w4 decode kernel is VPU-bound at
+        ~130 TF (276 GB/s effective on its 3.2 GB stream), so the
+        2x-byte w8 stream through the 182 TF int8 MXU can still win
+        at HBM rate — see PERF.md r5 for the measured A/B."""
         self.model = model
         self.cfg = model.cfg
         self.qmap = qmap
@@ -212,7 +219,8 @@ class ServingEngine:
                 'prefill buckets must be multiples of page_size'
             self.allocator = PageAllocator(kv_policy)
         self.qmap_prefill = qmap
-        if prefill_w8 and qmap is not None and not self.mla:
+        if (prefill_w8 or decode_w8) and qmap is not None \
+                and not self.mla:
             from .packed import prefill_qmap_from
             from ..models.base import get_path, has_path
             # fail at CONSTRUCTION, not with a KeyError at the first
@@ -226,11 +234,17 @@ class ServingEngine:
                      if has_path(blk0, p)]
             for p in packed_paths + fused:
                 if 'qweight8' not in get_path(blk0, p):
+                    which = 'prefill_w8' if prefill_w8 else 'decode_w8'
                     raise ValueError(
-                        f'prefill_w8=True but linear {p!r} has no w8 '
+                        f'{which}=True but linear {p!r} has no w8 '
                         f'companion — pack with '
                         f'pack_model(..., w8_prefill=True)')
-            self.qmap_prefill = prefill_qmap_from(qmap)
+            qmap_w8 = prefill_qmap_from(qmap)
+            if prefill_w8 or decode_w8:
+                self.qmap_prefill = qmap_w8
+            if decode_w8:
+                # decode rides the companion too: full W8A8 serving
+                self.qmap = qmap_w8
         self._prefill_jit = jax.jit(self._prefill,
                                     static_argnames=('slen',))
         self._prefill_paged_jit = jax.jit(self._prefill_paged,

@@ -411,6 +411,61 @@ def test_engine_prefill_w8_companion():
     assert n_same >= n_tok - 3, (outs, n_same, n_tok)
 
 
+def test_engine_decode_w8():
+    """ServingEngine(decode_w8=True): decode (and prefill) ride the
+    per-channel int8 companion — full W8A8 serving.  Tokens must
+    largely match the plain w4 engine (per-channel int8 weight noise
+    is below the w4 grid except for extreme in-group spread)."""
+    import numpy as np
+    from llmc_tpu.models import LlamaAdapter, LlamaConfig
+    from llmc_tpu.quant import QuantSpec
+    from llmc_tpu.serve.packed import pack_model
+    from llmc_tpu.serve.engine import Request, ServingEngine
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      head_dim=16, dtype='float32')
+    wspec = QuantSpec(bit=4, symmetric=True, granularity='per_group',
+                      group_size=32)
+    rng = np.random.RandomState(1)
+    prompts = [rng.randint(0, 128, (5 + i,)) for i in range(3)]
+    outs = {}
+    for w8 in (False, True):
+        m = LlamaAdapter.random(cfg, seed=0)
+        qmap = pack_model(m, wspec, fuse=True, w8_prefill=w8)
+        eng = ServingEngine(m, qmap=qmap, max_batch=2, max_len=48,
+                            prefill_buckets=(8, 16), decode_w8=w8)
+        reqs = [Request(uid=i, prompt_ids=p, max_new_tokens=6)
+                for i, p in enumerate(prompts)]
+        eng.run(reqs)
+        assert all(r.done and len(r.output_ids) == 6 for r in reqs)
+        outs[w8] = [list(r.output_ids) for r in reqs]
+    n_tok = sum(len(o) for o in outs[False])
+    n_same = sum(a == b for x, y in zip(outs[False], outs[True])
+                 for a, b in zip(x, y))
+    assert n_same >= n_tok - 4, (outs, n_same, n_tok)
+
+
+def test_engine_decode_w8_requires_companion():
+    """decode_w8=True without the packed companion fails at
+    construction with the same clear message as prefill_w8."""
+    from llmc_tpu.models import LlamaAdapter, LlamaConfig
+    from llmc_tpu.quant import QuantSpec
+    from llmc_tpu.serve.packed import pack_model
+    from llmc_tpu.serve.engine import ServingEngine
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      head_dim=16, dtype='float32')
+    m = LlamaAdapter.random(cfg, seed=0)
+    qmap = pack_model(m, QuantSpec(bit=4, symmetric=True,
+                                   granularity='per_group',
+                                   group_size=32))   # no companion
+    with pytest.raises(ValueError, match='w8 companion'):
+        ServingEngine(m, qmap=qmap, max_batch=2, max_len=48,
+                      prefill_buckets=(8,), decode_w8=True)
+
+
 def test_engine_prefill_w8_requires_companion():
     """prefill_w8=True without pack_model(w8_prefill=True) must fail at
     engine CONSTRUCTION with a clear message, not a KeyError at the
